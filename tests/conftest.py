@@ -1,0 +1,28 @@
+"""Test environment: force an 8-device virtual CPU mesh so sharding tests
+stand in for a pod slice (SURVEY.md §4 'Implication').
+
+The ambient environment may preload jax with a real-accelerator backend
+(sitecustomize + JAX_PLATFORMS=axon), so plain env-var setdefault is not
+enough: jax is already in sys.modules when conftest runs. Backend
+*initialization* is still lazy, so flipping jax_platforms via
+jax.config.update before the first device query reliably lands tests on
+the 8-device virtual CPU platform. Bench/production runs use the real TPU;
+tests must be hermetic + CPU-only.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
