@@ -87,7 +87,13 @@ def ifft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 
 def _use_matmul() -> bool:
-    return jax.default_backend() != "cpu"
+    # The native XLA FFT custom call works on every backend probed so far
+    # (including axon TPU) and avoids the complex-transpose ops of the
+    # matmul path, which that backend rejects. The MXU Cooley-Tukey path
+    # stays available for experiments via SRSUE_TPU_MATMUL_FFT=1.
+    import os
+
+    return os.environ.get("SRSUE_TPU_MATMUL_FFT", "0") == "1"
 
 
 def _dispatch(x, axis, sign, native):

@@ -1,0 +1,84 @@
+"""Soft USIM — AKA authentication + key derivation (reference:
+ue/src/upper/usim.cc:38-240: config parse, Milenage/XOR auth with AUTN
+validation, K_ASME/K_NAS/K_eNB/K_RRC/K_UP derivation)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from . import security as sec
+
+
+@dataclass
+class UsimConfig:
+    imsi: str = "001010123456789"
+    imei: str = "353490069873319"
+    k: bytes = bytes(range(16))
+    op: bytes = bytes(16)
+    amf: bytes = b"\x80\x00"
+    algo: str = "milenage"  # "milenage" | "xor"
+
+
+class AuthError(Exception):
+    pass
+
+
+class Usim:
+    def __init__(self, cfg: UsimConfig):
+        self.cfg = cfg
+        self.opc = sec.milenage_opc(cfg.k, cfg.op)
+        self.k_asme: bytes | None = None
+        self.k_enb: bytes | None = None
+        self.keys: dict[str, bytes] = {}
+
+    # --- usim_interface_nas ------------------------------------------------
+    def get_imsi(self) -> str:
+        return self.cfg.imsi
+
+    def get_imei(self) -> str:
+        return self.cfg.imei
+
+    def generate_authentication_response(
+        self, rand: bytes, autn: bytes, mcc: int, mnc: int
+    ) -> bytes:
+        """Validate AUTN, compute RES, derive K_ASME (usim.cc:136-240).
+
+        AUTN = (SQN ^ AK)(6) || AMF(2) || MAC(8).
+        Raises AuthError on MAC mismatch (network not authenticated).
+        """
+        res, ck, ik, ak = sec.milenage_f2345(self.cfg.k, self.opc, rand)
+        sqn_xor_ak = autn[:6]
+        amf = autn[6:8]
+        mac = autn[8:16]
+        sqn = bytes(a ^ b for a, b in zip(sqn_xor_ak, ak))
+        mac_a, _ = sec.milenage_f1(self.cfg.k, self.opc, rand, sqn, amf)
+        if mac_a != mac:
+            raise AuthError("AUTN MAC mismatch")
+        plmn = self._plmn_bytes(mcc, mnc)
+        self.k_asme = sec.kdf_k_asme(ck, ik, plmn, sqn_xor_ak)
+        return res
+
+    @staticmethod
+    def _plmn_bytes(mcc: int, mnc: int) -> bytes:
+        d = [mcc // 100, (mcc // 10) % 10, mcc % 10]
+        if mnc < 100:
+            m = [0xF, mnc // 10, mnc % 10]
+        else:
+            m = [mnc // 100, (mnc // 10) % 10, mnc % 10]
+        return bytes(
+            [d[1] << 4 | d[0], m[0] << 4 | d[2], m[2] << 4 | m[1]]
+        )
+
+    # --- usim_interface_rrc ------------------------------------------------
+    def generate_nas_keys(self, eea: int, eia: int) -> None:
+        assert self.k_asme is not None
+        self.keys["nas_enc"] = sec.kdf_nas(self.k_asme, eea, is_integrity=False)
+        self.keys["nas_int"] = sec.kdf_nas(self.k_asme, eia, is_integrity=True)
+
+    def generate_as_keys(self, nas_count: int, eea: int, eia: int) -> None:
+        assert self.k_asme is not None
+        self.k_enb = sec.kdf_k_enb(self.k_asme, nas_count)
+        self.keys["rrc_enc"] = sec.kdf_as(self.k_enb, eea, "rrc_enc")
+        self.keys["rrc_int"] = sec.kdf_as(self.k_enb, eia, "rrc_int")
+        self.keys["up_enc"] = sec.kdf_as(self.k_enb, eea, "up_enc")
+        self.keys["up_int"] = sec.kdf_as(self.k_enb, eia, "up_int")
