@@ -52,6 +52,12 @@ def main() -> None:
     p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
     noisy, _ = enb_tx.awgn(rng, td, 26.0, signal_power=p_sig)
 
+    expected = jnp.asarray(payloads.astype(np.float32))
+
+    # Scalar-only outputs: the axon runtime's D2H path is only reliable for
+    # small float32 transfers (see .claude/skills/verify/SKILL.md), and the
+    # benchmark discipline wants no bulk readback anyway — payloads are
+    # verified ON DEVICE against the known TX bits.
     @jax.jit
     def rx(iq):
         grid = ofdm.demodulate(cell, iq)
@@ -60,25 +66,27 @@ def main() -> None:
             codec.extract_re(grid), codec.extract_re(h), nvar
         )
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
-        return payload.astype(jnp.int32), tb_ok, iters
+        n_ok = jnp.sum(tb_ok.astype(jnp.float32))
+        bit_match = jnp.mean((payload.astype(jnp.float32) == expected).astype(jnp.float32))
+        mean_iters = jnp.mean(iters.astype(jnp.float32))
+        return n_ok, bit_match, mean_iters
 
     iq = jnp.asarray(noisy)
     t0 = time.time()
-    payload, tb_ok, iters = rx(iq)
-    jax.block_until_ready(tb_ok)
+    n_ok, bit_match, mean_iters = rx(iq)
+    jax.block_until_ready(n_ok)
     print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    ok = to_host(tb_ok)
-    assert ok.all(), f"decode failed: {ok}"
-    assert (to_host(payload).astype(np.uint8) == payloads).all(), "payload mismatch"
-    print(f"mean turbo iters: {to_host(iters).mean():.2f}", file=sys.stderr)
+    assert float(n_ok) == B, f"decode failed: {float(n_ok)}/{B} TBs ok"
+    assert float(bit_match) == 1.0, f"payload mismatch: {float(bit_match)}"
+    print(f"mean turbo iters: {float(mean_iters):.2f}", file=sys.stderr)
 
     # steady state
     n_rep = 20
     t0 = time.time()
     for _ in range(n_rep):
         out = rx(iq)
-    jax.block_until_ready(out[1])
+    jax.block_until_ready(out[0])
     dt = (time.time() - t0) / n_rep
     mbps = B * grant.tbs / dt / 1e6
     msamp = B * cell.sf_len / dt / 1e6

@@ -74,6 +74,7 @@ class Mac:
             start_rar_search=self._start_rar_search,
             send_msg3=self._send_msg3,
             on_complete=self._ra_complete,
+            on_timing_advance=self._on_ta,
         )
 
         self.crnti: int = 0
@@ -188,9 +189,13 @@ class Mac:
             self.metrics.tx_errors += 1
 
     # ------------------------------------------------------- RA wiring
-    def start_ra(self, ccch_sdu: bytes, contention_id: bytes) -> None:
+    def start_ra(self, ccch_sdu: bytes, contention_id: bytes | None = None) -> None:
         """RRC has a CCCH message (ConnectionRequest) -> RA with Msg3
-        (the mac.cc:186-190 mux-has-CCCH path)."""
+        (the mac.cc:186-190 mux-has-CCCH path). The contention-resolution
+        identity is the first 48 bits of the Msg3 CCCH SDU (36.321
+        §5.1.5) unless explicitly overridden."""
+        if contention_id is None:
+            contention_id = ccch_sdu[:6].ljust(6, b"\x00")
         self.contention_id = contention_id
         self.ra.start(ccch_sdu, contention_id)
 

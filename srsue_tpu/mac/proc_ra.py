@@ -53,6 +53,7 @@ class RaProc:
         start_rar_search: Callable[[int, int], None],
         send_msg3: Callable[[bytes, int], None],
         on_complete: Callable[[int], None],
+        on_timing_advance: Callable[[int], None] | None = None,
         rng: random.Random | None = None,
     ):
         """prach_send(preamble_idx, power) -> tti of transmission.
@@ -64,6 +65,7 @@ class RaProc:
         self.start_rar_search = start_rar_search
         self.send_msg3 = send_msg3
         self.on_complete = on_complete
+        self.on_timing_advance = on_timing_advance or (lambda ta: None)
         self.rng = rng or random.Random(0)
 
         self.state = RaState.IDLE
@@ -132,6 +134,7 @@ class RaProc:
             self._backoff_param = backoff
         for rar in rars:
             if rar.rapid == self.preamble_idx:
+                self.on_timing_advance(rar.ta)  # process_timeadv_cmd
                 self.t_crnti = rar.t_crnti
                 assert self.msg3 is not None
                 self.send_msg3(self.msg3, rar.t_crnti)
@@ -145,7 +148,7 @@ class RaProc:
     def con_res_id_received(self, crid: bytes) -> bool:
         if self.state != RaState.CONTENTION_RESOLUTION:
             return False
-        if crid == self.ue_crid[: len(crid)]:
+        if crid == self.ue_crid[: len(crid)].ljust(len(crid), b"\x00"):
             self.state = RaState.COMPLETION
             self.on_complete(self.t_crnti)
             return True
