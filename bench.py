@@ -52,12 +52,18 @@ def main() -> None:
     p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
     noisy, _ = enb_tx.awgn(rng, td, 26.0, signal_power=p_sig)
 
-    expected = jnp.asarray(payloads.astype(np.float32))
+    # numpy (NOT device) constant: jit embeds numpy closures directly;
+    # closing over a device array forces a D2H copy during lowering,
+    # which the axon runtime rejects.
+    expected = payloads.astype(np.float32)
 
     # Scalar-only outputs: the axon runtime's D2H path is only reliable for
     # small float32 transfers (see .claude/skills/verify/SKILL.md), and the
     # benchmark discipline wants no bulk readback anyway — payloads are
     # verified ON DEVICE against the known TX bits.
+    # Results leave the device as ONE tile-aligned (8, 128) float32 array —
+    # the only D2H shape class the axon relay has proven reliable for
+    # (scalars/odd shapes from large executables hit UNIMPLEMENTED paths).
     @jax.jit
     def rx(iq):
         grid = ofdm.demodulate(cell, iq)
@@ -67,26 +73,33 @@ def main() -> None:
         )
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
         n_ok = jnp.sum(tb_ok.astype(jnp.float32))
-        bit_match = jnp.mean((payload.astype(jnp.float32) == expected).astype(jnp.float32))
+        bit_match = jnp.mean(
+            (payload.astype(jnp.float32) == jnp.asarray(expected)).astype(jnp.float32)
+        )
         mean_iters = jnp.mean(iters.astype(jnp.float32))
-        return n_ok, bit_match, mean_iters
+        stats = jnp.zeros((8, 128), jnp.float32)
+        stats = stats.at[0, 0].set(n_ok).at[0, 1].set(bit_match)
+        stats = stats.at[0, 2].set(mean_iters)
+        return stats
 
     iq = jnp.asarray(noisy)
     t0 = time.time()
-    n_ok, bit_match, mean_iters = rx(iq)
-    jax.block_until_ready(n_ok)
+    stats = rx(iq)
+    jax.block_until_ready(stats)
     print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    assert float(n_ok) == B, f"decode failed: {float(n_ok)}/{B} TBs ok"
-    assert float(bit_match) == 1.0, f"payload mismatch: {float(bit_match)}"
-    print(f"mean turbo iters: {float(mean_iters):.2f}", file=sys.stderr)
+    s = np.asarray(stats)
+    n_ok, bit_match, mean_iters = s[0, 0], s[0, 1], s[0, 2]
+    assert n_ok == B, f"decode failed: {n_ok}/{B} TBs ok"
+    assert bit_match == 1.0, f"payload mismatch: {bit_match}"
+    print(f"mean turbo iters: {mean_iters:.2f}", file=sys.stderr)
 
     # steady state
     n_rep = 20
     t0 = time.time()
     for _ in range(n_rep):
         out = rx(iq)
-    jax.block_until_ready(out[0])
+    jax.block_until_ready(out)
     dt = (time.time() - t0) / n_rep
     mbps = B * grant.tbs / dt / 1e6
     msamp = B * cell.sf_len / dt / 1e6

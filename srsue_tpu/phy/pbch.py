@@ -127,6 +127,13 @@ def decode(cell: Cell, x_eq: jnp.ndarray, nv_eff) -> tuple[Mib | None, int, int]
     hard = to_host(convcode.decode(jnp.stack(cands)))  # [4, CODED]
 
     for q in range(4):
+        if not hard[q].any():
+            # the all-zero codeword trivially satisfies CRC(0)=0 and is
+            # what Viterbi emits for an empty/zero-energy PBCH region —
+            # reject it (a real MIB with all-zero payload would still be
+            # caught here; bandwidth code 0 + sfn 0 + phich 1/6 all-zero
+            # is vanishingly unlikely vs. misalignment)
+            continue
         for ports, mask in ANT_MASK.items():
             if crc.check(hard[q], "16", mask=mask):
                 return unpack_mib(hard[q][:MIB_LEN], q), q, ports

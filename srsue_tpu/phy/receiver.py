@@ -1,0 +1,164 @@
+"""Receiver state machine — cell search -> MIB -> steady-state subframe
+loop (reference: ue/src/phy/phch_recv.cc run_thread 266-375:
+CELL_SEARCH -> SYNCING -> SYNC_DONE, one iteration per 1 ms subframe).
+
+The reference pulls aligned subframes via srslte_ue_sync_zerocopy on an
+RT thread and hands each to a worker-pool thread. Here the loop is a
+host generator over an IQ stream: alignment/CFO state advances per
+subframe, and the per-subframe DSP is the jitted UeDl programs —
+batching across subframes happens naturally by accumulating aligned
+subframes and decoding them as one device batch (the TPU replacement of
+the 2-4 thread pipeline).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import chest, equalize, ofdm, pbch, regrid, sync
+from .cell import Cell
+from ..radio.radio import Radio
+from ..utils.jaxutil import to_host, to_host_complex
+
+
+@dataclass
+class SyncResult:
+    cell: Cell
+    sample_offset: int  # start of the next subframe-0 in the stream
+    cfo: float  # subcarrier units
+    sfn: int
+
+
+class Receiver:
+    def __init__(self, radio: Radio):
+        self.radio = radio
+        self.state = "CELL_SEARCH"
+        self.metrics = {"cfo_hz": 0.0, "peak": 0.0, "sfo_hz": 0.0}
+
+    # ------------------------------------------------------------ search
+    def cell_search(self, n_frames: int = 3, search_srate: float = 1.92e6):
+        """PSS/SSS scan (phch_recv.cc:135-227): find N_id, coarse timing,
+        CFO. Returns (cell_id, is_sf5, t_offset_fullrate, cfo) or None."""
+        srate = self.radio.srate
+        decim = int(round(srate / search_srate))
+        n = int(n_frames * 10e-3 * srate)
+        samples, ts = self.radio.rx_now(n)
+        low = sync.decimate(jnp.asarray(samples), decim)
+
+        cell6 = Cell(n_prb=6)
+        half_len = 5 * cell6.sf_len  # 5 ms at search rate
+        n_halves = int(low.shape[-1]) // half_len
+        if n_halves < 2:
+            return None
+        # batch half-frames; PSS repeats every 5 ms
+        segs = low[: n_halves * half_len].reshape(n_halves, half_len)
+        nid2, t, peak = sync.find_pss(segs)
+        nid2_h = to_host(nid2)
+        t_h = to_host(t)
+        peak_h = to_host(peak)
+        # detection statistic: noise-only peaks ~0.3, a true PSS inside a
+        # wideband cell ~2+ (the PSS occupies only the center 1.4 MHz).
+        # Prefer the EARLIEST strong half-frame so the stream position
+        # stays well before the capture end.
+        strong = np.nonzero(peak_h >= max(1.0, 0.6 * peak_h.max()))[0]
+        if len(strong) == 0:
+            return None
+        best = int(strong[0])
+        n_id_2 = int(nid2_h[best])
+        t_pss = int(t_h[best])
+
+        # CFO from the PSS symbol CP, then SSS one symbol earlier
+        seg = segs[best]
+        cp = cell6.cp_lengths[1]
+        start = t_pss - cp
+        if start < 0 or t_pss + cell6.nfft > half_len:
+            return None
+        cfo = float(to_host(sync.cfo_estimate_cp(
+            seg[start : start + cell6.nfft + cp], cell6.nfft, cp
+        )))
+        seg_c = sync.cfo_correct(seg, cfo, cell6.nfft)
+        pss_td = seg_c[t_pss : t_pss + cell6.nfft]
+        pss_fd_full = jnp.fft.fft(pss_td)
+        sss_start = t_pss - cell6.nfft - cell6.cp_lengths[1]
+        sss_td = seg_c[sss_start : sss_start + cell6.nfft]
+        sss_fd_full = jnp.fft.fft(sss_td)
+
+        def center62(fd):
+            return jnp.concatenate([fd[-31:], fd[1:32]])
+
+        nid1, is_sf5, score = sync.sss_coherent(
+            center62(pss_fd_full), center62(sss_fd_full), n_id_2
+        )
+        cell_id = 3 * int(to_host(nid1)) + n_id_2
+
+        # full-rate offset of the subframe boundary AFTER the PSS symbol:
+        # PSS ends at slot boundary (last symbol of slot 0)
+        pss_end_low = best * half_len + t_pss + cell6.nfft
+        sf_start_low = pss_end_low + cell6.slot_len  # end of slot 1 = sf end
+        t_full = sf_start_low * decim
+        self.metrics["peak"] = float(peak_h[best])
+        self.metrics["cfo_hz"] = cfo * 15000.0
+        return cell_id, bool(to_host(is_sf5)), t_full, cfo
+
+    # ------------------------------------------------------------ MIB
+    def decode_mib_stream(self, cell_id: int, t_offset: int, cfo: float,
+                          is_sf5: bool, max_tries: int = 4):
+        """Align to subframe 0 and decode PBCH (phch_recv sync_sfn
+        230-264). The radio position is already past t_offset's capture;
+        the caller provides a radio whose stream continues from where
+        cell_search left it. Returns (Cell, Mib) or None."""
+        cell6 = Cell(n_prb=6, cell_id=cell_id)
+        # t_offset points at the subframe AFTER the detected sync; if the
+        # sync was at sf5, the next subframe is sf6 -> wait 4 more sf.
+        skip_sf = 4 if is_sf5 else 9  # land on a subframe 0... next sf idx:
+        # after sf0's sync: next sf = 1 -> skip 9 to reach sf0. after sf5:
+        # next sf = 6 -> skip 4.
+        for _try in range(max_tries):
+            # position at the target subframe-0 boundary (rewind via seek
+            # for file/array radios: cell_search consumed ahead)
+            target = t_offset + skip_sf * int(self.radio.srate // 1000)
+            if not self.radio.seek(target):
+                n_skip = target - self.radio.pos
+                if n_skip > 0:
+                    self.radio.rx_now(n_skip)
+            sf0, ts = self.radio.rx_now(int(self.radio.srate // 1000))
+            t_offset = target
+            skip_sf = 10
+            decim = int(round(self.radio.srate / cell6.srate))
+            low = sync.decimate(jnp.asarray(sf0), decim) if decim > 1 else jnp.asarray(sf0)
+            low = sync.cfo_correct(low, cfo, cell6.nfft)
+            grid = ofdm.demodulate(cell6, low)
+            h, nvar, _ = chest.estimate(cell6, grid, 0, port=0)
+            y = pbch.extract_re(cell6, grid)
+            hh = pbch.extract_re(cell6, h)
+            x_eq, nv_eff = equalize.zf(y, hh, nvar)
+            mib, quarter, ports = pbch.decode(cell6, x_eq, nv_eff)
+            if mib is not None:
+                cell = Cell(n_prb=mib.n_prb, cell_id=cell_id,
+                            n_ports=max(1, ports))
+                return cell, mib, t_offset
+        return None
+
+    # ------------------------------------------------------- steady state
+    def subframes(self, cell: Cell, t_offset: int, cfo: float, start_sfn: int,
+                  start_sf: int, n: int):
+        """Generator of (tti, aligned_subframe_jnp) — the SYNC_DONE loop
+        (phch_recv.cc:309-368). CFO is tracked per subframe from the CP."""
+        sf_len = cell.sf_len
+        if not self.radio.seek(t_offset):
+            if self.radio.pos < t_offset:
+                self.radio.rx_now(t_offset - self.radio.pos)
+        tti = (start_sfn * 10 + start_sf) % 10240
+        for _ in range(n):
+            raw, ts = self.radio.rx_now(sf_len)
+            iq = sync.cfo_correct(jnp.asarray(raw), cfo, cell.nfft)
+            # track residual CFO from the first symbol's CP
+            cp = cell.cp_lengths[0]
+            resid = float(to_host(sync.cfo_estimate_cp(iq, cell.nfft, cp)))
+            cfo += 0.1 * resid
+            self.metrics["cfo_hz"] = cfo * 15000.0
+            yield tti, iq
+            tti = (tti + 1) % 10240
