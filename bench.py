@@ -5,42 +5,46 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mbps", "vs_baseline": N}
 
 Method (mirrors metrics_stdout's TB-bits/s discipline, SURVEY.md §6):
-batch B full subframes of 64QAM max-TBS PDSCH at operating SNR, run the
-complete grant-known receive chain (OFDM demod -> CRS chest -> ZF eq ->
-demap -> descramble -> dematch -> 8-iter max-log-MAP turbo w/ CRC early
-exit -> TB CRC) as one jitted program, and report decoded TB bits per
-wall-clock second with inputs resident in HBM (streaming ingest is
-benchmarked separately in the metrics suite).
+batch B full subframes of 64QAM max-TBS PDSCH at operating SNR through
+the complete grant-known receive chain (OFDM demod -> CRS chest -> ZF eq
+-> demap -> descramble -> dematch -> windowed 8-iter max-log-MAP turbo
+w/ CRC early exit -> TB CRC) as one jitted program; decoded TB bits per
+wall-clock second, inputs resident in HBM.
+
+Robustness: the accelerator measurement runs in a TIMEOUT-GUARDED CHILD
+process because this environment's axon relay can wedge on device->host
+reads (.claude/skills/verify/SKILL.md). Every timed repetition forces a
+small result readback so execution is PROVEN complete (the relay's async
+completion events return immediately and cannot be trusted for timing).
+If the child fails/times out, the same program is timed on the CPU
+platform and reported with a "platform" tag.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MBPS = 60.0
+B_DEFAULT = 8
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def build_input(B: int):
+    import jax.numpy as jnp  # noqa: F401
 
-    from srsue_tpu.phy import chest, enb_tx, equalize, ofdm, ra
+    from srsue_tpu.phy import enb_tx, ra
     from srsue_tpu.phy.cell import Cell
     from srsue_tpu.phy.pdsch import PdschCodec
-    from srsue_tpu.utils.jaxutil import to_host
 
     cell = Cell(n_prb=100, cell_id=42)
     grant = ra.dl_grant(cell.n_prb, 28)  # 64QAM, TBS 75376, C=13
     subframe = 6
     codec = PdschCodec(cell, grant, rnti=0x1234, subframe=subframe, cfi=1,
                        n_turbo_iters=8)
-
     rng = np.random.default_rng(0)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    print(f"building {B} subframes of 20 MHz 64QAM TBS={grant.tbs}...",
-          file=sys.stderr, flush=True)
     payloads = np.stack(
         [rng.integers(0, 2, grant.tbs).astype(np.uint8) for _ in range(B)]
     )
@@ -51,20 +55,14 @@ def main() -> None:
     td = np.stack(tds)
     p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
     noisy, _ = enb_tx.awgn(rng, td, 26.0, signal_power=p_sig)
+    return cell, grant, subframe, codec, payloads, noisy
 
-    # numpy (NOT device) constant: jit embeds numpy closures directly;
-    # closing over a device array forces a D2H copy during lowering,
-    # which the axon runtime rejects.
-    expected = payloads.astype(np.float32)
 
-    # Scalar-only outputs: the axon runtime's D2H path is only reliable for
-    # small float32 transfers (see .claude/skills/verify/SKILL.md), and the
-    # benchmark discipline wants no bulk readback anyway — payloads are
-    # verified ON DEVICE against the known TX bits.
-    # Results leave the device as ONE tile-aligned (8, 128) float32 array —
-    # the only D2H shape class the axon relay has proven reliable for
-    # (scalars/odd shapes from large executables hit UNIMPLEMENTED paths).
-    @jax.jit
+def make_rx(cell, codec, subframe, expected):
+    import jax.numpy as jnp
+
+    from srsue_tpu.phy import chest, equalize, ofdm
+
     def rx(iq):
         grid = ofdm.demodulate(cell, iq)
         h, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
@@ -74,7 +72,8 @@ def main() -> None:
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
         n_ok = jnp.sum(tb_ok.astype(jnp.float32))
         bit_match = jnp.mean(
-            (payload.astype(jnp.float32) == jnp.asarray(expected)).astype(jnp.float32)
+            (payload.astype(jnp.float32) == jnp.asarray(expected[: iq.shape[0]]))
+            .astype(jnp.float32)
         )
         mean_iters = jnp.mean(iters.astype(jnp.float32))
         stats = jnp.zeros((8, 128), jnp.float32)
@@ -82,40 +81,101 @@ def main() -> None:
         stats = stats.at[0, 2].set(mean_iters)
         return stats
 
+    return rx
+
+
+def measure(device_kind: str, B: int, n_rep: int = 10) -> dict:
+    """Build, compile, verify and time the chain; returns result dict.
+    Every timed rep includes a forced small readback (proof of
+    execution)."""
+    import jax
+    import jax.numpy as jnp
+
+    cell, grant, subframe, codec, payloads, noisy = build_input(B)
+    expected = payloads.astype(np.float32)
+    rx = jax.jit(make_rx(cell, codec, subframe, expected))
+
     iq = jnp.asarray(noisy)
+
+    def run_and_read():
+        out = rx(iq)
+        # tiny dependent op + read: proves the whole program executed
+        probe = jnp.zeros((8, 128), jnp.float32) + out
+        return np.asarray(probe)
+
     t0 = time.time()
-    stats = rx(iq)
-    jax.block_until_ready(stats)
-    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    s = run_and_read()
+    t_first = time.time() - t0
+    assert s[0, 0] == B, f"decode failed: {s[0,0]}/{B} TBs ok"
+    assert s[0, 1] == 1.0, f"payload mismatch: {s[0,1]}"
+    print(
+        f"[{device_kind}] compile+first(+read): {t_first:.1f}s, "
+        f"iters {s[0,2]:.2f}",
+        file=sys.stderr, flush=True,
+    )
 
-    s = np.asarray(stats)
-    n_ok, bit_match, mean_iters = s[0, 0], s[0, 1], s[0, 2]
-    assert n_ok == B, f"decode failed: {n_ok}/{B} TBs ok"
-    assert bit_match == 1.0, f"payload mismatch: {bit_match}"
-    print(f"mean turbo iters: {mean_iters:.2f}", file=sys.stderr)
-
-    # steady state
-    n_rep = 20
     t0 = time.time()
     for _ in range(n_rep):
-        out = rx(iq)
-    jax.block_until_ready(out)
+        s = run_and_read()
     dt = (time.time() - t0) / n_rep
     mbps = B * grant.tbs / dt / 1e6
     msamp = B * cell.sf_len / dt / 1e6
     print(
-        f"steady: {dt*1e3:.2f} ms/batch of {B} sf -> {mbps:.1f} Mbps, "
-        f"{msamp:.1f} Msamples/s",
-        file=sys.stderr,
+        f"[{device_kind}] steady: {dt*1e3:.2f} ms/batch of {B} sf -> "
+        f"{mbps:.1f} Mbps, {msamp:.1f} Msamples/s",
+        file=sys.stderr, flush=True,
     )
+    return {"mbps": mbps, "msamples": msamp, "dt_ms": dt * 1e3}
+
+
+def main() -> None:
+    import jax
+
+    B = int(os.environ.get("SRSUE_BENCH_B", B_DEFAULT))
+
+    if "--child" in sys.argv:
+        r = measure(jax.default_backend(), B)
+        print("CHILD_RESULT " + json.dumps(r), flush=True)
+        return
+
+    platform = None
+    result = None
+    if jax.default_backend() != "cpu":
+        # accelerator measurement in a timeout-guarded child
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=480,
+                env=dict(os.environ, SRSUE_BENCH_B=str(B)),
+            )
+            sys.stderr.write(p.stderr)
+            for line in p.stdout.splitlines():
+                if line.startswith("CHILD_RESULT "):
+                    result = json.loads(line[len("CHILD_RESULT "):])
+                    platform = jax.default_backend()
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write(
+                f"accelerator child timed out; stderr:\n{e.stderr or ''}\n"
+            )
+
+    if result is None:
+        # CPU fallback (also the correctness reference)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        result = measure("cpu", B, n_rep=3)
+        platform = "cpu_fallback"
 
     print(
         json.dumps(
             {
                 "metric": "pdsch_decode_20mhz_64qam_maxtbs",
-                "value": round(mbps, 2),
+                "value": round(result["mbps"], 2),
                 "unit": "Mbps",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+                "vs_baseline": round(result["mbps"] / BASELINE_MBPS, 3),
+                "platform": platform,
+                "msamples_per_s": round(result["msamples"], 1),
             }
         ),
         flush=True,

@@ -189,6 +189,126 @@ def encode(bits: np.ndarray) -> np.ndarray:
 _NEG = -1e9
 
 
+def _prev_tables():
+    ns_np, par_np, _ = _trellis()
+    prev_pairs = np.zeros((8, 2, 2), np.int32)
+    cnt = [0] * 8
+    for s in range(8):
+        for u in (0, 1):
+            n = ns_np[s, u]
+            prev_pairs[n, cnt[n]] = (s, u)
+            cnt[n] += 1
+    return prev_pairs[:, :, 0], prev_pairs[:, :, 1]
+
+
+def _tail_beta(tail_sys, tail_par, B):
+    """Fold the 3 termination steps into the beta at step K."""
+    ns_np, par_np, _ = _trellis()
+    ns = jnp.asarray(ns_np)
+    par_sign = jnp.asarray(1.0 - 2.0 * par_np.astype(np.float32))
+    u_sign = jnp.asarray(np.array([1.0, -1.0], np.float32))
+    beta_tail = jnp.full((B, 8), _NEG, jnp.float32).at[:, 0].set(0.0)
+    for i in range(2, -1, -1):
+        g = (
+            0.5 * tail_sys[:, i][:, None, None] * u_sign[None, None, :]
+            + 0.5 * tail_par[:, i][:, None, None] * par_sign[None, :, :]
+        )
+        cand = beta_tail[:, ns] + g
+        beta_tail = jnp.max(cand, axis=-1)
+        beta_tail = beta_tail - jnp.max(beta_tail, axis=-1, keepdims=True)
+    return beta_tail
+
+
+def _bcjr_half_windowed(sys_llr, par_llr, apriori, tail_sys, tail_par,
+                        alpha_b, beta_b, lw: int):
+    """Windowed max-log-MAP half-iteration.
+
+    The K-step forward/backward recursions are split into W = K/lw
+    windows that run in parallel (the scan length drops from K to lw —
+    the classic windowed BCJR with next-iteration initialization: window
+    boundary metrics are carried across turbo iterations via
+    alpha_b/beta_b [B, W, 8]).
+
+    Returns (extrinsic [B, K], new_alpha_b, new_beta_b).
+    """
+    ns_np, par_np, _ = _trellis()
+    B, K = sys_llr.shape
+    W = K // lw
+    prev_s_np, prev_u_np = _prev_tables()
+    prev_s = jnp.asarray(prev_s_np)
+    prev_u = jnp.asarray(prev_u_np)
+    ns = jnp.asarray(ns_np)
+    par_sign = jnp.asarray(1.0 - 2.0 * par_np.astype(np.float32))
+    u_sign = jnp.asarray(np.array([1.0, -1.0], np.float32))
+
+    Lin = sys_llr + apriori
+    lin_w = Lin.reshape(B, W, lw)
+    par_w = par_llr.reshape(B, W, lw)
+
+    def gamma_k(lin_k, lp_k):
+        # [B, W, 8, 2]
+        return (
+            0.5 * lin_k[..., None, None] * u_sign
+            + 0.5 * lp_k[..., None, None] * par_sign
+        )
+
+    # window-0 alpha is exact (trellis starts in state 0)
+    a0 = jnp.where(
+        jnp.arange(W)[None, :, None] == 0,
+        jnp.full((8,), _NEG, jnp.float32).at[0].set(0.0),
+        alpha_b[:, :, :],
+    )
+
+    def fwd(alpha, x):
+        lin_k, lp_k = x  # [B, W]
+        g = gamma_k(lin_k, lp_k)
+        cand = alpha[..., prev_s] + g[..., prev_s, prev_u]
+        a_next = jnp.max(cand, axis=-1)
+        a_next = a_next - jnp.max(a_next, axis=-1, keepdims=True)
+        return a_next, alpha
+
+    xs = (jnp.moveaxis(lin_w, 2, 0), jnp.moveaxis(par_w, 2, 0))
+    alpha_last, alphas = jax.lax.scan(fwd, a0, xs)
+    alphas = jnp.moveaxis(alphas, 0, 2)  # [B, W, lw, 8]
+
+    # NII: next iteration, window w starts from this iteration's final
+    # alpha of window w-1
+    new_alpha_b = jnp.concatenate(
+        [jnp.zeros((B, 1, 8), jnp.float32), alpha_last[:, :-1, :]], axis=1
+    )
+
+    # beta init: window W-1 from the tail termination (exact); others from
+    # the carried boundary (previous iteration's window w+1 first beta)
+    bt = _tail_beta(tail_sys, tail_par, B)
+    b0 = jnp.where(
+        jnp.arange(W)[None, :, None] == W - 1,
+        bt[:, None, :],
+        beta_b,
+    )
+
+    def bwd(beta, x):
+        lin_k, lp_k = x
+        g = gamma_k(lin_k, lp_k)
+        m = beta[..., ns] + g  # [B, W, 8, 2]
+        beta_prev = jnp.max(m, axis=-1)
+        beta_prev = beta_prev - jnp.max(beta_prev, axis=-1, keepdims=True)
+        return beta_prev, m
+
+    xs_rev = (jnp.moveaxis(lin_w, 2, 0)[::-1], jnp.moveaxis(par_w, 2, 0)[::-1])
+    beta_first, ms = jax.lax.scan(bwd, b0, xs_rev)
+    ms = jnp.moveaxis(ms[::-1], 0, 2)  # [B, W, lw, 8, 2]
+
+    new_beta_b = jnp.concatenate(
+        [beta_first[:, 1:, :], jnp.zeros((B, 1, 8), jnp.float32)], axis=1
+    )
+
+    full = alphas[..., None] + ms
+    l0 = jnp.max(full[..., 0], axis=-1)
+    l1 = jnp.max(full[..., 1], axis=-1)
+    post = (l0 - l1).reshape(B, K)
+    return post - Lin, new_alpha_b, new_beta_b
+
+
 def _bcjr_half(sys_llr, par_llr, apriori, tail_sys, tail_par):
     """One constituent max-log-MAP pass.
 
@@ -272,12 +392,25 @@ def _bcjr_half(sys_llr, par_llr, apriori, tail_sys, tail_par):
     return post - Lin  # extrinsic
 
 
+def pick_window(k: int, target: int = 64) -> int | None:
+    """A window length that divides K, or None for small blocks where the
+    plain full-length scan is fine."""
+    if k <= 256:
+        return None
+    for lw in (target, 96, 128, 48, 32, 192, 256):
+        if k % lw == 0 and k // lw >= 2:
+            return lw
+    return None
+
+
 def decode(
     d_llrs: jnp.ndarray,
     k: int,
     n_iters: int = 8,
     crc_mat: np.ndarray | None = None,
     crc_len: int = 24,
+    window: int | None = None,
+    auto_window: bool = True,
 ):
     """Batched turbo decode.
 
@@ -287,8 +420,18 @@ def decode(
     If crc_mat is given ([K, crc_len] over the full K bits incl. attached
     CRC), per-block early-exit freezes converged blocks (masked update —
     shape-static, so the compiled program is SNR-independent).
+
+    window: windowed-BCJR window length (must divide K): cuts the scan
+    length from K to `window` by running K/window windows in parallel
+    with next-iteration-initialized boundaries — the TPU-shaped
+    parallelism for the trellis (SURVEY.md §7 hard part 1). auto_window
+    enables it for large K.
     """
     B = d_llrs.shape[0]
+    if window is None and auto_window:
+        window = pick_window(k)
+    if window is not None:
+        assert k % window == 0, f"window {window} must divide K={k}"
     perm = jnp.asarray(qpp_perm(k))
     inv = jnp.asarray(qpp_inv(k))
 
@@ -312,27 +455,70 @@ def decode(
         syn = jnp.mod(jnp.round(hard.astype(jnp.float32) @ crc_m), 2.0)
         return jnp.sum(syn, axis=-1) == 0
 
-    def body(carry, _):
-        le21, done, iters_used, hard_prev = carry
-        le12 = _bcjr_half(sys1, par1, le21, tail1_sys, tail1_par)
-        le21_new = _bcjr_half(sys2, par2, le12[:, perm], tail2_sys, tail2_par)[:, inv]
+    if window is None:
+        def body(carry, _):
+            le21, done, iters_used, hard_prev = carry
+            le12 = _bcjr_half(sys1, par1, le21, tail1_sys, tail1_par)
+            le21_new = _bcjr_half(sys2, par2, le12[:, perm], tail2_sys, tail2_par)[:, inv]
+            post = sys1 + le12 + le21_new
+            hard = (post < 0).astype(jnp.uint8)
+            ok = crc_ok_of(hard)
+            # freeze blocks that already passed CRC
+            mask = done[:, None]
+            le21_out = jnp.where(mask, le21, le21_new)
+            hard_out = jnp.where(mask, hard_prev, hard)
+            iters_used = iters_used + (~done).astype(jnp.int32)
+            done = done | ok
+            return (le21_out, done, iters_used, hard_out), None
+
+        init = (
+            jnp.zeros((B, k), jnp.float32),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, k), jnp.uint8),
+        )
+        (le21, done, iters_used, hard), _ = jax.lax.scan(
+            body, init, None, length=n_iters
+        )
+        ok = crc_ok_of(hard) | done
+        return hard, iters_used, ok
+
+    W = k // window
+
+    def body_w(carry, _):
+        le21, done, iters_used, hard_prev, ab1, bb1, ab2, bb2 = carry
+        le12, ab1n, bb1n = _bcjr_half_windowed(
+            sys1, par1, le21, tail1_sys, tail1_par, ab1, bb1, window
+        )
+        le21_raw, ab2n, bb2n = _bcjr_half_windowed(
+            sys2, par2, le12[:, perm], tail2_sys, tail2_par, ab2, bb2, window
+        )
+        le21_new = le21_raw[:, inv]
         post = sys1 + le12 + le21_new
         hard = (post < 0).astype(jnp.uint8)
         ok = crc_ok_of(hard)
-        # freeze blocks that already passed CRC
         mask = done[:, None]
+        mask3 = done[:, None, None]
         le21_out = jnp.where(mask, le21, le21_new)
         hard_out = jnp.where(mask, hard_prev, hard)
+        ab1 = jnp.where(mask3, ab1, ab1n)
+        bb1 = jnp.where(mask3, bb1, bb1n)
+        ab2 = jnp.where(mask3, ab2, ab2n)
+        bb2 = jnp.where(mask3, bb2, bb2n)
         iters_used = iters_used + (~done).astype(jnp.int32)
         done = done | ok
-        return (le21_out, done, iters_used, hard_out), None
+        return (le21_out, done, iters_used, hard_out, ab1, bb1, ab2, bb2), None
 
+    zb = jnp.zeros((B, W, 8), jnp.float32)
     init = (
         jnp.zeros((B, k), jnp.float32),
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, k), jnp.uint8),
+        zb, zb, zb, zb,
     )
-    (le21, done, iters_used, hard), _ = jax.lax.scan(body, init, None, length=n_iters)
+    (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
+        body_w, init, None, length=n_iters
+    )
     ok = crc_ok_of(hard) | done
     return hard, iters_used, ok
