@@ -128,44 +128,45 @@ def measure(device_kind: str, B: int, n_rep: int = 10) -> dict:
     return {"mbps": mbps, "msamples": msamp, "dt_ms": dt * 1e3}
 
 
-def main() -> None:
-    import jax
+def _run_child(mode: str, B: int, timeout: int = 480):
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ, SRSUE_BENCH_B=str(B)),
+        )
+        sys.stderr.write(p.stderr[-3000:])
+        for line in p.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                return json.loads(line[len("CHILD_RESULT "):])
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write(f"bench child {mode} timed out\n")
+    return None
 
+
+def main() -> None:
     B = int(os.environ.get("SRSUE_BENCH_B", B_DEFAULT))
 
-    if "--child" in sys.argv:
-        r = measure(jax.default_backend(), B)
+    if "--child" in sys.argv or "--child-cpu" in sys.argv:
+        import jax
+
+        if "--child-cpu" in sys.argv:
+            # flip BEFORE any device query (sitecustomize force-registers
+            # the accelerator; env vars alone cannot override it)
+            jax.config.update("jax_platforms", "cpu")
+        n_rep = 3 if "--child-cpu" in sys.argv else 10
+        r = measure(jax.default_backend(), B, n_rep=n_rep)
+        r["platform"] = jax.default_backend()
         print("CHILD_RESULT " + json.dumps(r), flush=True)
         return
 
-    platform = None
-    result = None
-    if jax.default_backend() != "cpu":
-        # accelerator measurement in a timeout-guarded child
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=480,
-                env=dict(os.environ, SRSUE_BENCH_B=str(B)),
-            )
-            sys.stderr.write(p.stderr)
-            for line in p.stdout.splitlines():
-                if line.startswith("CHILD_RESULT "):
-                    result = json.loads(line[len("CHILD_RESULT "):])
-                    platform = jax.default_backend()
-        except subprocess.TimeoutExpired as e:
-            sys.stderr.write(
-                f"accelerator child timed out; stderr:\n{e.stderr or ''}\n"
-            )
-
+    result = _run_child("--child", B)
+    platform = result.get("platform") if result else None
     if result is None:
-        # CPU fallback (also the correctness reference)
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-        result = measure("cpu", B, n_rep=3)
+        result = _run_child("--child-cpu", B, timeout=900)
         platform = "cpu_fallback"
+    if result is None:
+        raise SystemExit("bench failed on every platform")
 
     print(
         json.dumps(
