@@ -82,6 +82,7 @@ class Mac:
         self.contention_id: bytes = b""
         self.tti: int = 0
         self.metrics = MacMetrics()
+        self.pcap = None  # MacPcap instance (utils/pcap.py), set by the app
         self._rar_window: tuple[int, int, int] | None = None  # (ra_rnti, start, len)
         self._pending_msg3: bytes | None = None
         self._deliver_temp_crnti = False
@@ -143,6 +144,10 @@ class Mac:
         if ok:
             self.metrics.rx_pkts += 1
             self.metrics.rx_brate += codec.grant.tbs
+            if self.pcap and self.dl_harq.procs[pid].payload:
+                self.pcap.write_dl_crnti(
+                    self.dl_harq.procs[pid].payload, self.crnti, self.tti
+                )
         else:
             self.metrics.rx_errors += 1
         return ok
@@ -169,6 +174,8 @@ class Mac:
             self.mux.msg3_flush()
             self.ul_harq.new_tx(tti_tx, payload, is_msg3=True)
             self.metrics.tx_pkts += 1
+            if self.pcap:
+                self.pcap.write_ul_crnti(payload, self.temp_crnti, tti_tx)
             return payload
         if self.bsr.triggered:
             gen = self.bsr.generate_bsr()
@@ -181,6 +188,8 @@ class Mac:
         self.ul_harq.new_tx(tti_tx, payload)
         self.metrics.tx_pkts += 1
         self.metrics.tx_brate += 8 * grant_bytes
+        if self.pcap:
+            self.pcap.write_ul_crnti(payload, self.crnti, tti_tx)
         return payload
 
     def harq_recv(self, tti_tx: int, ack: bool) -> None:

@@ -97,6 +97,10 @@ def run_selftest_inline(args) -> int:
 
     usim_cfg = load_config(args.config)
     ue = Ue(phy=Phy(), usim_cfg=usim_cfg)
+    if args.pcap:
+        from .utils.pcap import MacPcap
+
+        ue.mac.pcap = MacPcap(args.pcap)
     enb = EnbStack(usim_cfg)
     ue.attach()
     ue.rrc.write_pdu_bcch_bch(b"\x00" * 3)

@@ -64,6 +64,11 @@ def encode(bits: np.ndarray) -> np.ndarray:
     flattened as streams concatenated: returns shape [3, n])."""
     b = np.asarray(bits, dtype=np.uint8).ravel()
     n = len(b)
+    from ..utils import native
+
+    nat = native.conv_encode(b)
+    if nat is not None:
+        return nat
     state = 0
     for i in range(6):  # init register with last 6 bits (tail-biting)
         state |= int(b[n - 1 - i]) << (5 - i)

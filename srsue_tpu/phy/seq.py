@@ -58,7 +58,13 @@ def prs(c_init: int, length: int) -> np.ndarray:
     """Gold sequence c(n), n in [0, length). Returns uint8 {0,1}.
 
     c(n) = (x1(n+Nc) + x2(n+Nc)) mod 2 with x2 seeded from c_init.
+    Uses the native C++ generator when built (utils/native.py).
     """
+    from ..utils import native
+
+    nat = native.gold_sequence(c_init, length)
+    if nat is not None:
+        return nat
     total = NC + length
     x2_init = np.array([(c_init >> i) & 1 for i in range(31)], dtype=np.uint8)
     x2 = _advance_mseq(x2_init, (0, 1, 2, 3), total)

@@ -168,6 +168,11 @@ def encode(bits: np.ndarray) -> np.ndarray:
     k = len(b)
     assert k in QPP_TABLE, f"invalid turbo K={k}"
     perm = qpp_perm(k)
+    from ..utils import native
+
+    nat = native.turbo_encode(b, perm)
+    if nat is not None:
+        return nat
     z1, t1x, t1z = _rsc_encode(b)
     z2, t2x, t2z = _rsc_encode(b[perm])
     d = np.zeros((3, k + 4), np.uint8)

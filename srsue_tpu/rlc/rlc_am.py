@@ -42,6 +42,11 @@ class _TxPdu:
     retx_count: int = 0
     pending_retx: bool = False
     poll: bool = False
+    # original segmentation structure (for re-segmentation on retx):
+    pieces: tuple = ()  # lengths of the SDU pieces in the payload
+    first_cont: bool = False
+    last_partial: bool = False
+    retx_offset: int = 0  # next SO to send when re-segmenting
 
 
 def _pack_am_header(sn: int, fi: int, lis: list[int], poll: bool, rf: int = 0) -> bytes:
@@ -68,8 +73,18 @@ def _pack_am_header(sn: int, fi: int, lis: list[int], poll: bool, rf: int = 0) -
     return bytes(out)
 
 
+def _pack_am_segment_header(sn: int, fi: int, lis: list[int], poll: bool,
+                            so: int, lsf: bool) -> bytes:
+    """AMD PDU segment header: base header with RF=1 followed by
+    LSF(1) | SO(15) (36.322 §6.2.1.5)."""
+    base = _pack_am_header(sn, fi, lis, poll, rf=1)
+    seg = bytes([((1 if lsf else 0) << 7) | ((so >> 8) & 0x7F), so & 0xFF])
+    # SO bytes sit directly after the fixed 2-byte header, before LIs
+    return base[:2] + seg + base[2:]
+
+
 def _unpack_am_header(data: bytes):
-    """Returns (dc, rf, poll, fi, sn, lis, header_len)."""
+    """Returns (dc, rf, poll, fi, sn, lis, header_len, lsf, so)."""
     b0 = data[0]
     dc = (b0 >> 7) & 1
     rf = (b0 >> 6) & 1
@@ -78,6 +93,11 @@ def _unpack_am_header(data: bytes):
     e = (b0 >> 2) & 1
     sn = ((b0 & 3) << 8) | data[1]
     pos = 2
+    lsf, so = True, 0
+    if rf:
+        lsf = bool((data[2] >> 7) & 1)
+        so = ((data[2] & 0x7F) << 8) | data[3]
+        pos = 4
     lis = []
     bitpos = 0
     while e:
@@ -89,7 +109,7 @@ def _unpack_am_header(data: bytes):
         lis.append(field12 & 0x7FF)
         bitpos += 12
     pos += (bitpos + 7) // 8
-    return dc, rf, p, fi, sn, lis, pos
+    return dc, rf, p, fi, sn, lis, pos, lsf, so
 
 
 def pack_status(ack_sn: int, nacks: list[int]) -> bytes:
@@ -169,6 +189,7 @@ class RlcAm:
         self.do_status = False
         self._reassembly = b""
         self._in_sdu = False
+        self.rx_segments: dict[int, list] = {}
         self.metrics = {"tx_sdus": 0, "rx_sdus": 0, "retx": 0, "status_tx": 0}
 
     # ----------------------------------------------------------- PDCP side
@@ -200,16 +221,21 @@ class RlcAm:
                 self.t_status_prohibit = self.cfg.t_status_prohibit
                 self.metrics["status_tx"] += 1
                 return pdu
-        # 2. retransmission
+        # 2. retransmission (re-segmented when the grant is too small)
         for sn in sorted(self.tx_window, key=lambda s: _sn_sub(s, self.vt_a)):
             p = self.tx_window[sn]
-            if p.pending_retx and len(p.data) <= nof_bytes:
+            if not p.pending_retx:
+                continue
+            if len(p.data) <= nof_bytes:
                 p.pending_retx = False
                 p.retx_count += 1
                 self.metrics["retx"] += 1
                 if p.retx_count >= self.cfg.max_retx_thresh:
                     self.on_max_retx()
                 return p.data
+            seg = self._build_retx_segment(sn, p, nof_bytes)
+            if seg:
+                return seg
         # 3. new data PDU
         return self._build_data_pdu(nof_bytes)
 
@@ -263,13 +289,74 @@ class RlcAm:
         lis = [len(s) for s in segs[:-1]]
         hdr = _pack_am_header(self.vt_s, fi, lis, poll)
         pdu = hdr + payload
-        self.tx_window[self.vt_s] = _TxPdu(pdu, poll=poll)
+        self.tx_window[self.vt_s] = _TxPdu(
+            pdu, poll=poll, pieces=tuple(len(s) for s in segs),
+            first_cont=first_cont, last_partial=last_partial,
+        )
         if poll:
             self.poll_sn = self.vt_s
             self.t_poll = 0
             self.poll_running = True
         self.vt_s = (self.vt_s + 1) % MOD
         return pdu
+
+    def _build_retx_segment(self, sn: int, p: _TxPdu, nof_bytes: int) -> bytes:
+        """AMD PDU segment (RF=1, SO/LSF) re-segmentation — 36.322 §5.2.1.
+        Sends the next chunk of the original payload sized to the grant,
+        with FI/LI recomputed for the chunk's own SDU-piece structure."""
+        # original payload = data minus its header
+        _, _, _, _, _, _, hlen, _, _ = _unpack_am_header(p.data)
+        payload = p.data[hlen:]
+        so = p.retx_offset
+        # worst-case segment header: 4 bytes fixed + LIs (~2/piece)
+        space = nof_bytes - 6
+        if space < 1 or so >= len(payload):
+            return b""
+        chunk = payload[so : so + space]
+        lsf = so + len(chunk) >= len(payload)
+        # recompute piece boundaries inside [so, so+len(chunk))
+        bounds = []
+        pos = 0
+        for ln in p.pieces:
+            bounds.append((pos, pos + ln))
+            pos += ln
+        lis = []
+        first_cont = bool(p.first_cont) if so == 0 else True
+        last_partial = bool(p.last_partial) if lsf else True
+        # refine: first_cont if so does not start at a piece boundary OR
+        # the piece it starts in was itself a continuation
+        for a, b in bounds:
+            if a == so:
+                first_cont = p.first_cont if a == 0 else False
+            if a < so < b:
+                first_cont = True
+        end = so + len(chunk)
+        for a, b in bounds:
+            if b == end:
+                last_partial = p.last_partial if b == len(payload) else False
+            if a < end < b:
+                last_partial = True
+        # LIs: piece boundaries strictly inside the chunk
+        cur = so
+        for a, b in bounds:
+            if so < b < end:
+                lis.append(b - cur)
+                cur = b
+        fi = (2 if first_cont else 0) | (1 if last_partial else 0)
+        hdr = _pack_am_segment_header(sn, fi, lis, False, so, lsf)
+        if len(hdr) + len(chunk) > nof_bytes:
+            chunk = chunk[: nof_bytes - len(hdr)]
+            lsf = so + len(chunk) >= len(payload)
+            hdr = _pack_am_segment_header(sn, fi | 1, lis, False, so, lsf)
+        p.retx_offset = so + len(chunk)
+        if lsf:
+            p.pending_retx = False
+            p.retx_offset = 0
+            p.retx_count += 1
+            self.metrics["retx"] += 1
+            if p.retx_count >= self.cfg.max_retx_thresh:
+                self.on_max_retx()
+        return hdr + chunk
 
     def _check_poll(self) -> bool:
         if (
@@ -292,12 +379,19 @@ class RlcAm:
 
     # ----------------------------------------------------------- RX side
     def _handle_data(self, pdu: bytes) -> None:
-        dc, rf, p, fi, sn, lis, hlen = _unpack_am_header(pdu)
+        dc, rf, p, fi, sn, lis, hlen, lsf, so = _unpack_am_header(pdu)
         if p:
             self.do_status = True
         if _sn_sub(sn, self.vr_r) >= AM_WINDOW:
             return  # outside rx window: discard (duplicate of delivered)
-        self.rx_window[sn] = (fi, lis, pdu[hlen:])
+        if rf:
+            merged = self._collect_segment(sn, fi, lis, pdu[hlen:], so, lsf)
+            if merged is None:
+                return
+            fi, lis, payload = merged
+            self.rx_window[sn] = (fi, lis, payload)
+        else:
+            self.rx_window[sn] = (fi, lis, pdu[hlen:])
         if _sn_sub(sn, self.vr_h) < AM_WINDOW:
             if _sn_sub(sn, self.vr_h) >= 0 and sn != self.vr_h:
                 pass
@@ -316,6 +410,55 @@ class RlcAm:
             self.reord_running = True
             self.t_reord = 0
             self.vr_x = self.vr_h
+
+    def _collect_segment(self, sn, fi, lis, payload, so, lsf):
+        """Buffer AMD PDU segments; when [0, total) is covered, merge into
+        one (fi, lis, payload) triple. Returns None while incomplete."""
+        segs = self.rx_segments.setdefault(sn, [])
+        segs.append((so, lsf, fi, lis, bytes(payload)))
+        segs.sort(key=lambda t: t[0])
+        total = None
+        for s0, l, _, _, pl in segs:
+            if l:
+                total = s0 + len(pl)
+        if total is None:
+            return None
+        cover = 0
+        for s0, _, _, _, pl in segs:
+            if s0 > cover:
+                return None
+            cover = max(cover, s0 + len(pl))
+        if cover < total:
+            return None
+        # merge: split each segment into pieces, joining across boundaries
+        pieces: list[bytes] = []
+        open_piece = False
+        consumed = 0
+        for s0, l, sfi, slis, pl in segs:
+            if s0 + len(pl) <= consumed:
+                continue  # full duplicate
+            pl = pl[consumed - s0 :]
+            sub = []
+            pos = 0
+            for li in slis:
+                sub.append(pl[pos : pos + li])
+                pos += li
+            sub.append(pl[pos:])
+            s_first_cont = bool(sfi & 2)
+            s_last_partial = bool(sfi & 1)
+            for i, piece in enumerate(sub):
+                if i == 0 and s_first_cont and open_piece and pieces:
+                    pieces[-1] += piece
+                else:
+                    pieces.append(piece)
+                open_piece = (i == len(sub) - 1) and s_last_partial
+            consumed = s0 + len(pl)
+        first_cont = bool(segs[0][2] & 2)
+        last_partial = bool(segs[-1][2] & 1)
+        del self.rx_segments[sn]
+        out_fi = (2 if first_cont else 0) | (1 if last_partial else 0)
+        out_lis = [len(p) for p in pieces[:-1]]
+        return out_fi, out_lis, b"".join(pieces)
 
     def _nack_list(self) -> list[int]:
         nacks = []

@@ -1,0 +1,68 @@
+"""Pallas BCJR kernel: bit parity with the pure-JAX windowed decoder
+(interpret mode on CPU; the same kernel compiles for TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsue_tpu.phy import crc as crcmod
+from srsue_tpu.phy import turbo, turbo_pallas
+
+
+def _make(k, b, snr_db, rng):
+    m = np.zeros((k, 24), np.uint8)
+    m[: k - 24] = crcmod.crc_matrix(k - 24, "24A")
+    m[k - 24 :] = np.eye(24, dtype=np.uint8)
+    payloads, llrs = [], []
+    for _ in range(b):
+        p = rng.integers(0, 2, k - 24).astype(np.uint8)
+        msg = crcmod.attach(p, "24A")
+        x = 1.0 - 2.0 * turbo.encode(msg).astype(np.float32)
+        sigma = 10 ** (-snr_db / 20)
+        x = x + rng.standard_normal(x.shape).astype(np.float32) * sigma
+        llrs.append(2 * x / sigma**2)
+        payloads.append(msg)
+    return np.stack(payloads), np.stack(llrs), m
+
+
+def test_half_kernel_matches_jax():
+    """The kernel's extrinsics/boundaries == the pure-JAX windowed half."""
+    k, lw, b = 512, 64, 3
+    rng = np.random.default_rng(0)
+    _, llrs, _ = _make(k, b, 2.0, rng)
+    sys1 = jnp.asarray(llrs[:, 0, :k])
+    par1 = jnp.asarray(llrs[:, 1, :k])
+    t = llrs[:, :, k : k + 4]
+    tail_sys = jnp.asarray(np.stack([t[:, 0, 0], t[:, 2, 0], t[:, 1, 1]], 1))
+    tail_par = jnp.asarray(np.stack([t[:, 1, 0], t[:, 0, 1], t[:, 2, 1]], 1))
+    W = k // lw
+    ab = jnp.zeros((b, W, 8), jnp.float32)
+    bb = jnp.zeros((b, W, 8), jnp.float32)
+    apriori = jnp.zeros((b, k), jnp.float32)
+
+    ref_ext, ref_ab, ref_bb = turbo._bcjr_half_windowed(
+        sys1, par1, apriori, tail_sys, tail_par, ab, bb, lw
+    )
+    got_ext, got_ab, got_bb = turbo_pallas.bcjr_half_windowed_pallas(
+        sys1, par1, apriori, tail_sys, tail_par, ab, bb, lw, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_ext), np.asarray(ref_ext),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_ab), np.asarray(ref_ab),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_bb), np.asarray(ref_bb),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [512, 6144])
+def test_full_decode_matches_windowed(k):
+    rng = np.random.default_rng(1)
+    payloads, llrs, m = _make(k, 2, 1.0, rng)
+    h_ref, it_ref, ok_ref = turbo.decode(jnp.asarray(llrs), k, 4, crc_mat=m,
+                                         window=64)
+    h_pal, it_pal, ok_pal = turbo_pallas.decode(jnp.asarray(llrs), k, 4,
+                                                crc_mat=m, window=64,
+                                                interpret=True)
+    assert np.asarray(ok_pal).all()
+    np.testing.assert_array_equal(np.asarray(h_pal), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(it_pal), np.asarray(it_ref))
