@@ -204,6 +204,70 @@ def unpack_1(n_rb: int, bits: np.ndarray) -> Dci1:
     )
 
 
+@dataclass(frozen=True)
+class Dci1C:
+    """Very compact DL assignment (SI/RA/paging; 36.212 §5.3.3.1.4):
+    distributed VRBs in N_gap steps + restricted TBS index."""
+
+    riv: int
+    tbs_idx: int  # 5 bits, Table 7.1.7.2.3-1 column
+    gap: int = 0
+
+
+def _n_step_1c(n_rb: int) -> int:
+    return 2 if n_rb < 50 else 4
+
+
+def size_1c(n_rb: int) -> int:
+    n_vrb = n_rb // _n_step_1c(n_rb)
+    n = math.ceil(math.log2(n_vrb * (n_vrb + 1) / 2)) + 5
+    if n_rb >= 50:
+        n += 1
+    return n
+
+
+# 36.213 Table 7.1.7.2.3-1: TBS for DCI format 1C (32 entries)
+TBS_1C = [40, 56, 72, 120, 136, 144, 176, 208, 224, 256, 280, 296, 328,
+          336, 392, 488, 552, 600, 632, 696, 776, 840, 904, 1000, 1064,
+          1128, 1224, 1288, 1384, 1480, 1608, 1736]
+
+
+def pack_1c(n_rb: int, d: Dci1C) -> np.ndarray:
+    bits: list[int] = []
+    if n_rb >= 50:
+        bits.append(d.gap & 1)
+    step = _n_step_1c(n_rb)
+    n_vrb = n_rb // step
+    _put(bits, d.riv, math.ceil(math.log2(n_vrb * (n_vrb + 1) / 2)))
+    _put(bits, d.tbs_idx, 5)
+    out = np.zeros(size_1c(n_rb), np.uint8)
+    out[: len(bits)] = bits
+    return out
+
+
+def unpack_1c(n_rb: int, bits: np.ndarray) -> Dci1C:
+    r = _Reader(bits)
+    gap = r.take(1) if n_rb >= 50 else 0
+    step = _n_step_1c(n_rb)
+    n_vrb = n_rb // step
+    riv = r.take(math.ceil(math.log2(n_vrb * (n_vrb + 1) / 2)))
+    return Dci1C(riv=riv, tbs_idx=r.take(5), gap=gap)
+
+
+def dci1c_to_grant(cell: Cell, d: Dci1C) -> DlGrant:
+    step = _n_step_1c(cell.n_prb)
+    n_vrb = cell.n_prb // step
+    start_g, len_g = riv_decode(n_vrb, d.riv)
+    return DlGrant(
+        n_prb=len_g * step,
+        prb_start=start_g * step,
+        mcs=0,
+        mod_order=2,  # 1C is always QPSK
+        tbs=TBS_1C[d.tbs_idx],
+        rv=0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # grant conversion (srslte_dci_msg_to_*_grant parity)
 # ---------------------------------------------------------------------------

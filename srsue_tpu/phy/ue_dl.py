@@ -65,28 +65,42 @@ class UeDl:
 
     # --- stage 2: grant-known PDSCH chain (the hot path) ------------------
     @functools.lru_cache(maxsize=64)
-    def _pdsch_chain(self, grant: DlGrant, rnti: int, subframe: int, cfi: int):
+    def _pdsch_chain(self, grant: DlGrant, rnti: int, subframe: int, cfi: int,
+                     tm2: bool = False):
         cell = self.cell
         codec = get_codec(cell, grant, rnti, subframe, cfi, self.n_turbo_iters)
 
         @jax.jit
         def run(iq):
             grid = ofdm.demodulate(cell, iq)
-            h, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
-            y = codec.extract_re(grid)
-            hh = codec.extract_re(h)
-            x_eq, nv_eff = equalize.zf(y, hh, nvar)
+            if tm2:
+                # TM2 transmit diversity: per-port chest + SFBC combining
+                h0, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
+                h1, _, _ = chest.estimate(cell, grid, subframe, port=1)
+                y = codec.extract_re(grid)
+                x_eq, nv_eff = equalize.alamouti_combine(
+                    y, codec.extract_re(h0), codec.extract_re(h1), nvar
+                )
+            else:
+                h, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
+                y = codec.extract_re(grid)
+                hh = codec.extract_re(h)
+                x_eq, nv_eff = equalize.zf(y, hh, nvar)
             payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
             return payload, tb_ok, iters
 
         return codec, run
 
     def decode_pdsch(
-        self, iq: np.ndarray, grant: DlGrant, rnti: int, subframe: int, cfi: int = 1
+        self, iq: np.ndarray, grant: DlGrant, rnti: int, subframe: int,
+        cfi: int = 1, tm2: bool | None = None,
     ):
         """Grant-known batched PDSCH decode: [batch, sf_len] IQ ->
-        (payload [batch, tbs], tb_ok [batch], iters)."""
-        _, run = self._pdsch_chain(grant, rnti, subframe, cfi)
+        (payload [batch, tbs], tb_ok [batch], iters). TM2 defaults on for
+        2-port cells (README.md:15 transmission mode parity)."""
+        if tm2 is None:
+            tm2 = self.cell.n_ports == 2
+        _, run = self._pdsch_chain(grant, rnti, subframe, cfi, tm2)
         payload, tb_ok, iters = run(jnp.asarray(iq))
         return to_host(payload), to_host(tb_ok), to_host(iters)
 

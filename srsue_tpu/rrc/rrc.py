@@ -87,6 +87,26 @@ class Rrc:
             cfg.power_ramp_db = int(rach["power_ramp_step"][2:])
             cfg.response_window = int(rach["response_window"][2:])
             cfg.contention_res_timer = int(rach["contention_res_timer"][2:])
+        if self.phy is not None and hasattr(self.phy, "configure_ul_power"):
+            from ..phy.powerctrl import UlPowerConfig
+
+            up = sib2["ul_power"]
+            self.phy.configure_ul_power(UlPowerConfig(
+                p0_nominal_pusch=float(up["p0_nominal_pusch"]) - 126.0,
+                alpha={"al0": 0.0, "al04": 0.4, "al05": 0.5, "al06": 0.6,
+                       "al07": 0.7, "al08": 0.8, "al09": 0.9, "al1": 1.0}[
+                    up["alpha"]],
+                p0_nominal_pucch=float(up["p0_nominal_pucch"]) - 127.0,
+                delta_preamble_msg3=float(up["delta_preamble_msg3"]),
+            ))
+        if self.phy is not None and hasattr(self.phy, "configure_prach"):
+            pr = sib2["prach"]
+            self.phy.configure_prach(
+                root_seq_index=pr["root_sequence_index"],
+                zero_corr=pr["zero_correlation_zone"],
+                freq_offset=pr["freq_offset"],
+                config_index=pr["config_index"],
+            )
         if self.phy is not None and hasattr(self.phy, "configure_ul_params"):
             self.phy.configure_ul_params(sib2)
 
