@@ -522,8 +522,27 @@ def decode(
         jnp.zeros((B, k), jnp.uint8),
         zb, zb, zb, zb,
     )
-    (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
-        body_w, init, None, length=n_iters
-    )
+    if crc_mat is not None:
+        # device-side early exit: stop as soon as EVERY block in the batch
+        # passed CRC (the reference's max_noi early-stop semantics,
+        # phch_worker.cc:87-89, at batch granularity). Shapes stay static;
+        # only the trip count is data-dependent.
+        def cond(state):
+            i, carry = state
+            done = carry[1]
+            return (i < n_iters) & ~jnp.all(done)
+
+        def step(state):
+            i, carry = state
+            carry, _ = body_w(carry, None)
+            return (i + 1, carry)
+
+        _, (le21, done, iters_used, hard, *_) = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), init)
+        )
+    else:
+        (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
+            body_w, init, None, length=n_iters
+        )
     ok = crc_ok_of(hard) | done
     return hard, iters_used, ok

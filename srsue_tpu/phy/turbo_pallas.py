@@ -275,8 +275,23 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
         jnp.zeros((B, k), jnp.uint8),
         zb, zb, zb, zb,
     )
-    (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
-        body, init, None, length=n_iters
-    )
+    if crc_mat is not None:
+        # whole-batch device-side early exit (see turbo.decode)
+        def cond(state):
+            i, carry = state
+            return (i < n_iters) & ~jnp.all(carry[1])
+
+        def step(state):
+            i, carry = state
+            carry, _ = body(carry, None)
+            return (i + 1, carry)
+
+        _, (le21, done, iters_used, hard, *_) = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), init)
+        )
+    else:
+        (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
+            body, init, None, length=n_iters
+        )
     ok = crc_ok_of(hard) | done
     return hard, iters_used, ok
