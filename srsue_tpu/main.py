@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--iq", help="raw complex64 IQ capture to attach to")
     p.add_argument("--srate", type=float, default=7.68e6,
                    help="capture sample rate (Hz)")
+    p.add_argument("--rnti", type=lambda v: int(v, 0), default=0,
+                   help="C-RNTI to blind-search for PDSCH data in the "
+                        "steady-state loop (0 = sync/MIB only)")
     p.add_argument("--selftest", action="store_true",
                    help="run the hermetic attach selftest and exit")
     p.add_argument("--log-level", default="warning",
@@ -179,13 +182,41 @@ def run_iq(args) -> int:
     cell, mib, t_next = got
     print(f"MIB: n_prb={cell.n_prb} sfn={mib.sfn} phich={mib.phich_resources}",
           file=sys.stderr)
+
+    from .phy.ue_dl import UeDl
+    from .mac.mac import MacMetrics
+
+    ue_dl = UeDl(cell) if args.rnti else None
+    mp = MetricsPrinter(out=sys.stderr, period_ttis=args.metrics_period)
+    mm = MacMetrics()
     n = 0
+    tb_bits = 0
+    snr = 0.0
     for tti, iq in rx.subframes(cell, t_next, cfo, mib.sfn, 0, n=10_000):
         n += 1
+        if ue_dl is not None:
+            res = ue_dl.process(np.asarray(iq)[None], tti % 10, args.rnti)
+            if res.tb_ok is not None:
+                ok = bool(res.tb_ok.all())
+                mm.rx_pkts += int(ok)
+                mm.rx_errors += int(not ok)
+                if ok:
+                    tb_bits += res.grants[0].tbs
+                    mm.rx_brate += res.grants[0].tbs
+            snr = float(np.mean(res.metrics["snr_db"]))
+            mp.step(tti, attached=True,
+                    phy=PhyMetricsSnapshot(dl_snr_db=snr,
+                                           cfo_hz=rx.metrics["cfo_hz"],
+                                           dl_mcs=res.grants[0].mcs if res.grants else 0),
+                    mac_metrics=mm)
         if radio.exhausted:
             break
-    print(f"processed {n} subframes; cfo_track={rx.metrics['cfo_hz']:.0f} Hz",
-          file=sys.stderr)
+    print(
+        f"processed {n} subframes; cfo_track={rx.metrics['cfo_hz']:.0f} Hz"
+        + (f"; decoded {mm.rx_pkts} TBs ({tb_bits} bits), snr={snr:.1f} dB"
+           if ue_dl else ""),
+        file=sys.stderr,
+    )
     return 0
 
 

@@ -46,6 +46,8 @@ class Usim:
         AUTN = (SQN ^ AK)(6) || AMF(2) || MAC(8).
         Raises AuthError on MAC mismatch (network not authenticated).
         """
+        if self.cfg.algo == "xor":
+            return self._auth_xor(rand, autn, mcc, mnc)
         res, ck, ik, ak = sec.milenage_f2345(self.cfg.k, self.opc, rand)
         sqn_xor_ak = autn[:6]
         amf = autn[6:8]
@@ -54,6 +56,21 @@ class Usim:
         mac_a, _ = sec.milenage_f1(self.cfg.k, self.opc, rand, sqn, amf)
         if mac_a != mac:
             raise AuthError("AUTN MAC mismatch")
+        plmn = self._plmn_bytes(mcc, mnc)
+        self.k_asme = sec.kdf_k_asme(ck, ik, plmn, sqn_xor_ak)
+        return res
+
+    def _auth_xor(self, rand: bytes, autn: bytes, mcc: int, mnc: int) -> bytes:
+        """34.108 §8 XOR test algorithm (reference usim.cc 'xor' branch):
+        xdout = K ^ RAND; RES = xdout[0:8]; CK/IK = byte-rotations of
+        xdout; AK from xdout[3:9]. AUTN MAC is validated against the
+        same construction."""
+        xdout = bytes(a ^ b for a, b in zip(self.cfg.k, rand))
+        res = xdout[:8]
+        ck = bytes(xdout[(i + 1) % 16] for i in range(16))
+        ik = bytes(xdout[(i + 2) % 16] for i in range(16))
+        ak = xdout[3:9]
+        sqn_xor_ak = autn[:6]
         plmn = self._plmn_bytes(mcc, mnc)
         self.k_asme = sec.kdf_k_asme(ck, ik, plmn, sqn_xor_ak)
         return res

@@ -35,6 +35,33 @@ def test_cli_iq_attach(tmp_path):
     assert "processed" in r.stderr
 
 
+def test_cli_iq_data_decode(tmp_path):
+    """--rnti mode: the app decodes C-RNTI PDSCH data in the steady loop
+    (the streaming-receiver surface)."""
+    sys.path.insert(0, "tests")
+    from test_coldstart import _build_downlink
+
+    cell = Cell(n_prb=6, cell_id=77)
+    td, _, _ = _build_downlink(cell, n_frames=4, snr_db=15, crnti=0x4601,
+                               mcs_data=6)
+    path = tmp_path / "cap_data.iq"
+    write_iq(str(path), td)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "srsue_tpu.main", "--iq", str(path),
+         "--srate", str(cell.srate), "--rnti", "0x4601"],
+        capture_output=True, text=True, timeout=500,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "decoded" in r.stderr
+    import re
+
+    m = re.search(r"decoded (\d+) TBs", r.stderr)
+    assert m and int(m.group(1)) >= 2, r.stderr
+
+
 def test_selftest_writes_pcap(tmp_path):
     pcap = tmp_path / "ue.pcap"
     r = subprocess.run(

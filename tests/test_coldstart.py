@@ -18,12 +18,14 @@ from srsue_tpu.utils.jaxutil import to_host
 
 
 def _build_downlink(cell, n_frames=3, sib_payloads=None, snr_db=15, seed=0,
-                    mcs_si=3, sfn0=0):
+                    mcs_si=3, sfn0=0, crnti=0, mcs_data=8, data_sfs=(3,)):
     """Generate n_frames of a live cell: CRS everywhere, PSS/SSS in sf0/5,
-    PBCH in sf0, and SIB PDSCH (DCI 1A on SI-RNTI) in sf5."""
+    PBCH in sf0, SIB PDSCH (DCI 1A on SI-RNTI) in sf5, and optional
+    C-RNTI data PDSCH in `data_sfs`."""
     rng = np.random.default_rng(seed)
     sib_payloads = sib_payloads or {}
     grant = ra.dl_grant(cell.n_prb, mcs_si)
+    data_grant = ra.dl_grant(cell.n_prb, mcs_data)
     cfi = 2
     sfs = []
     for f in range(n_frames):
@@ -33,6 +35,17 @@ def _build_downlink(cell, n_frames=3, sib_payloads=None, snr_db=15, seed=0,
             enb_tx.add_crs(cell, grid, sf, 0)
             enb_tx.add_sync(cell, grid, sf)
             control.pcfich_map(cell, grid, sf, cfi)
+            if crnti and sf in data_sfs:
+                dcodec = PdschCodec(cell, data_grant, crnti, sf, cfi)
+                dd = dci.Dci1A(riv=dci.riv_encode(cell.n_prb, 0, cell.n_prb),
+                               mcs=mcs_data, harq_pid=0, ndi=True, rv=0, tpc=0)
+                n_cce, _ = control.pdcch_geometry(cell, cfi)
+                cands = control.search_space_candidates(n_cce, crnti, sf)
+                start, l = [c for c in cands if c[1] >= 4][0]
+                control.pdcch_map(cell, grid, sf, cfi,
+                                  dci.pack_1a(cell.n_prb, dd), crnti, start, l)
+                pl = rng.integers(0, 2, data_grant.tbs).astype(np.uint8)
+                dcodec.map_to_grid(grid, dcodec.encode_symbols(pl))
             if sf == 0:
                 mib = pbch.Mib(cell.n_prb, "normal", 1.0, sfn)
                 cw = pbch.encode(cell, mib, n_ports=1)
