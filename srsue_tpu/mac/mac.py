@@ -11,16 +11,15 @@ new_grant_dl / tb_decoded / new_grant_ul / harq_recv / bch_decoded_ok.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable
+from dataclasses import dataclass
 
 from . import pdu as pdu_mod
 from .demux import Demux
-from .dl_harq import BCCH_PID, DlHarq, N_HARQ_PROC
+from .dl_harq import BCCH_PID, DlHarq
 from .mux import Mux
-from .proc_ra import RaConfig, RaProc, RaState
+from .proc_ra import RaConfig, RaProc
 from .procs import BsrProc, PhrProc, SrProc
-from .ul_harq import HARQ_DELAY, UlHarq
+from .ul_harq import UlHarq
 from ..utils.timers import TimersDb
 
 # well-known RNTIs

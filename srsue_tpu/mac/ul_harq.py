@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
-
 RV_SEQ = (0, 2, 3, 1)
 N_HARQ_PROC = 8
 HARQ_DELAY = 4  # FDD: grant at tti -> tx at tti+4

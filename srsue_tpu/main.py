@@ -158,13 +158,9 @@ def run_selftest_inline(args) -> int:
 def run_iq(args) -> int:
     """Attach to a recorded/generated IQ capture: cell search -> MIB ->
     steady subframe loop with the metrics table."""
-    import jax.numpy as jnp
-
-    from .phy import chest, control, dci, equalize, ofdm
     from .phy.receiver import Receiver
     from .radio import FileRadio
     from .utils.metrics import MetricsPrinter, PhyMetricsSnapshot
-    from .utils.jaxutil import to_host
 
     radio = FileRadio(args.iq, args.srate)
     rx = Receiver(radio)

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..phy import chest, equalize, ofdm
-from ..phy.cell import Cell, DlGrant
+from ..phy.cell import Cell
 from ..phy.pdsch import PdschCodec
 
 

@@ -12,8 +12,6 @@ reference's 2-subframe sliding worker buffer (phch_worker.cc:69).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,14 +73,12 @@ def sharded_frontend(cell: Cell, mesh: Mesh, n_sf_per_dev: int,
         in_specs=P(axis),
         out_specs=P(axis),
     )
+    out_shape = (out_cell.n_sym_sf, out_cell.n_sc)
 
     @jax.jit
     def run(iq):
         blocks = iq.reshape(n_dev, block)
-        return fn(blocks).reshape(n_dev * n_sf_per_dev, *fn_out_shape())
-
-    def fn_out_shape():
-        return (out_cell.n_sym_sf, out_cell.n_sc)
+        return fn(blocks).reshape(n_dev * n_sf_per_dev, *out_shape)
 
     in_shard = NamedSharding(mesh, P(axis))
     return run, in_shard, out_cell

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import convcode, crc, modulation, ratematch, regrid, seq
-from .cell import NFFT_BY_PRB, Cell
+from .cell import Cell
 
 MIB_LEN = 24
 CODED = MIB_LEN + 16  # +CRC16

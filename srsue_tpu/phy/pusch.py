@@ -72,11 +72,49 @@ def dmrs_for_slot(cell: Cell, m_sc: int, slot: int, cyclic_shift: int = 0) -> np
     return (base * np.exp(1j * alpha * n)).astype(np.complex64)
 
 
+ACK_COLS = (2, 3, 8, 9)  # interleaver columns adjacent to the DMRS symbols
+RI_COLS = (1, 4, 7, 10)
+
+
+def uci_layout(m_sc: int, n_cqi_syms: int, n_ack_syms: int):
+    """PUSCH channel-interleaver position sets (36.212 §5.2.2.7/8).
+
+    The R x 12 symbol matrix (R = M_sc rows, 12 data SC-FDMA symbol
+    columns) is written row-major with [CQI || data] and read
+    column-major; ACK symbols occupy bottom-up rows of the DMRS-adjacent
+    columns. Returns (cqi_pos, ack_pos, data_pos) as stream indices in
+    the column-major (per-SC-FDMA-symbol) order our mapper uses.
+
+    Deviation noted: ACK positions are RESERVED (data is rate-matched
+    around them) rather than puncturing already-matched data — identical
+    capacity, simpler soft-combining; flagged for interop tightening.
+    """
+    r = m_sc
+    c = 12
+    ack_pos = []
+    for i in range(n_ack_syms):
+        col = ACK_COLS[i % 4]
+        row = r - 1 - (i // 4)
+        ack_pos.append(col * r + row)
+    ack_set = set(ack_pos)
+    order = []  # row-major fill -> column-major stream index
+    for row in range(r):
+        for col in range(c):
+            s = col * r + row
+            if s not in ack_set:
+                order.append(s)
+    cqi_pos = order[:n_cqi_syms]
+    data_pos = order[n_cqi_syms:]
+    return (np.asarray(cqi_pos, np.int64), np.asarray(ack_pos, np.int64),
+            np.asarray(data_pos, np.int64))
+
+
 class PuschCodec:
     """Static-config UL-SCH codec (dual of PdschCodec)."""
 
     def __init__(self, cell: Cell, grant: UlGrant, rnti: int, subframe: int,
-                 n_turbo_iters: int = 8):
+                 n_turbo_iters: int = 8, n_cqi_bits: int = 0,
+                 with_ack: bool = False, cqi_rep: int = 2, ack_syms: int = 4):
         self.cell = cell
         self.grant = grant
         self.rnti = rnti
@@ -86,7 +124,19 @@ class PuschCodec:
         self.n_data_sym = cell.n_sym_sf - 2  # minus 2 DMRS symbols
         self.n_re = self.m_sc * self.n_data_sym
         self.qm = grant.mod_order
-        self.G = self.n_re * self.qm
+
+        # UCI-on-PUSCH multiplexing (36.212 §5.2.2.6-8): CQI rides the
+        # leading interleaver positions, ACK the DMRS-adjacent columns;
+        # data is rate-matched to the remaining REs.
+        self.n_cqi_bits = n_cqi_bits
+        self.with_ack = with_ack
+        n_cqi_syms = -(-20 * cqi_rep // self.qm) if n_cqi_bits else 0
+        n_ack_syms = ack_syms if with_ack else 0
+        self.cqi_pos, self.ack_pos, self.data_pos = uci_layout(
+            self.m_sc, n_cqi_syms, n_ack_syms
+        )
+        self.cqi_rep = cqi_rep
+        self.G = len(self.data_pos) * self.qm
 
         self.plan = segmentation.plan(grant.tbs)
         p = self.plan
@@ -120,9 +170,35 @@ class PuschCodec:
     def encode_sf(self, payload: np.ndarray, cyclic_shift: int = 0) -> np.ndarray:
         """TB -> SC-FDMA time-domain subframe [sf_len] (host+device mix,
         returns numpy)."""
+        if self.n_cqi_bits or self.with_ack:
+            raise ValueError("UCI-configured codec: use encode_sf_uci")
         cw = self.encode_bits(payload)
-        syms = modulation.modulate_np(cw, self.qm)  # [n_re]
-        return self.map_waveform(syms, cyclic_shift)
+        stream = np.zeros(self.n_re, np.complex64)
+        stream[self.data_pos] = modulation.modulate_np(cw, self.qm)
+        return self.map_waveform(stream, cyclic_shift)
+
+    def encode_sf_uci(self, payload: np.ndarray, cqi_bits=None,
+                      ack: bool | None = None, cyclic_shift: int = 0) -> np.ndarray:
+        """TB + UCI -> SC-FDMA subframe. cqi_bits: [n_cqi_bits] (RM20-coded
+        + circular repetition); ack: HARQ ACK bit (BPSK on reserved
+        positions)."""
+        from . import uci as ucimod
+
+        stream = np.zeros(self.n_re, np.complex64)
+        cw = self.encode_bits(payload)
+        stream[self.data_pos] = modulation.modulate_np(cw, self.qm)
+        if self.n_cqi_bits:
+            assert cqi_bits is not None and len(cqi_bits) == self.n_cqi_bits
+            cqi_cw = ucimod.rm20_encode(np.asarray(cqi_bits))
+            n_bits = len(self.cqi_pos) * self.qm
+            rep = np.tile(cqi_cw, -(-n_bits // 20))[:n_bits]
+            stream[self.cqi_pos] = modulation.modulate_np(rep, self.qm)
+        if self.with_ack:
+            assert ack is not None
+            b = 0 if ack else 1
+            abits = np.full(len(self.ack_pos) * self.qm, b, np.uint8)
+            stream[self.ack_pos] = modulation.modulate_np(abits, self.qm)
+        return self.map_waveform(stream, cyclic_shift)
 
     def map_waveform(self, syms: np.ndarray, cyclic_shift: int = 0) -> np.ndarray:
         cell = self.cell
@@ -143,6 +219,25 @@ class PuschCodec:
         from . import ofdm
 
         return ofdm.modulate_np(cell, grid)
+
+    def decode_uci(self):
+        """Decode the UCI extracted by the last decode_sf call:
+        returns (cqi_bits | None, ack | None)."""
+        from . import uci as ucimod
+        from ..utils.jaxutil import to_host
+
+        cqi_llr, ack_llr = self._last_uci_llrs
+        cqi = None
+        if cqi_llr is not None:
+            flat = to_host(cqi_llr).reshape(-1)
+            acc = np.zeros(20, np.float32)
+            for i, v in enumerate(flat):
+                acc[i % 20] += v
+            cqi, _ = ucimod.rm20_decode(acc, self.n_cqi_bits)
+        ack = None
+        if ack_llr is not None:
+            ack = bool(to_host(ack_llr).sum() > 0)
+        return cqi, ack
 
     # ------------------------------------------------------ eNB-side decode
     def decode_sf(self, iq: jnp.ndarray, noise_var: float = 1e-4,
@@ -175,8 +270,16 @@ class PuschCodec:
         nv_eff = noise_var / h2[..., 0, :]
         nv_full = jnp.repeat(nv_eff[..., None, :], len(data_syms), axis=-2
                              ).reshape(syms.shape)
-        llr = modulation.demodulate_soft(syms, self.qm, nv_full)
+        llr_all = modulation.demodulate_soft(syms, self.qm, nv_full)
+        llr_all = llr_all.reshape(llr_all.shape[:-1] + (self.n_re, self.qm))
+        llr = llr_all[..., jnp.asarray(self.data_pos), :].reshape(
+            llr_all.shape[:-2] + (self.G,)
+        )
         llr = llr * jnp.asarray(self.scr_pm1)
+        self._last_uci_llrs = (
+            llr_all[..., jnp.asarray(self.cqi_pos), :] if self.n_cqi_bits else None,
+            llr_all[..., jnp.asarray(self.ack_pos), :] if self.with_ack else None,
+        )
 
         p = self.plan
         from . import crc as crcmod

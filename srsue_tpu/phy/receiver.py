@@ -18,10 +18,10 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from . import chest, equalize, ofdm, pbch, regrid, sync
+from . import chest, equalize, ofdm, pbch, sync
 from .cell import Cell
 from ..radio.radio import Radio
-from ..utils.jaxutil import to_host, to_host_complex
+from ..utils.jaxutil import to_host
 
 
 @dataclass

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import crc
-from .turbo import MAX_K, VALID_K
+from .turbo import VALID_K
 
 Z = 6144  # max code block size
 

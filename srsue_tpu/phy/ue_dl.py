@@ -25,7 +25,7 @@ import numpy as np
 
 from . import chest, control, dci, equalize, ofdm, ra
 from .cell import Cell, DlGrant
-from .pdsch import PdschCodec, codec as get_codec
+from .pdsch import codec as get_codec
 from ..utils.jaxutil import to_host
 
 

@@ -12,7 +12,7 @@ self-consistent across our UE and eNB emulator.
 from __future__ import annotations
 
 from .bitcodec import (
-    Bool, Choice, Enum, FixedBytes, Null, Seq, SeqOf, Uint, VarBytes,
+    Bool, Choice, Enum, FixedBytes, Seq, SeqOf, Uint, VarBytes,
     decode_msg, encode_msg,
 )
 

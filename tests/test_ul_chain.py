@@ -126,3 +126,31 @@ def test_pucch_slot_hopping():
     cell = Cell(n_prb=25, cell_id=1)
     assert pucch.pucch_prb(cell, 0, 0) != pucch.pucch_prb(cell, 0, 1)
     assert pucch.pucch_prb(cell, 0, 0) + pucch.pucch_prb(cell, 0, 1) == cell.n_prb - 1
+
+
+def test_pusch_with_uci_multiplexing():
+    """UCI on PUSCH: CQI + ACK ride the shared channel with the TB; eNB
+    recovers all three (36.212 §5.2.2.6-8 layout)."""
+    cell = Cell(n_prb=25, cell_id=12)
+    grant = _ul_grant(25, 8)
+    codec = pusch.PuschCodec(cell, grant, rnti=0x99, subframe=2,
+                             n_cqi_bits=4, with_ack=True)
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+    cqi = np.array([1, 0, 1, 1], np.uint8)
+    td = codec.encode_sf_uci(payload, cqi_bits=cqi, ack=True)
+    noisy = td + 0.02 * (
+        rng.standard_normal(td.shape) + 1j * rng.standard_normal(td.shape)
+    ).astype(np.complex64)
+    got, ok = codec.decode_sf(jnp.asarray(noisy[None]), noise_var=8e-4)
+    assert bool(to_host(ok).all())
+    np.testing.assert_array_equal(to_host(got)[0].astype(np.uint8), payload)
+    got_cqi, got_ack = codec.decode_uci()
+    np.testing.assert_array_equal(got_cqi, cqi)
+    assert got_ack is True
+
+    # NACK case
+    td2 = codec.encode_sf_uci(payload, cqi_bits=cqi, ack=False)
+    codec.decode_sf(jnp.asarray(td2[None]), noise_var=1e-5)
+    _, got_ack2 = codec.decode_uci()
+    assert got_ack2 is False
