@@ -82,6 +82,11 @@ class Mac:
         self.tti: int = 0
         self.metrics = MacMetrics()
         self.pcap = None  # MacPcap instance (utils/pcap.py), set by the app
+        # timeAlignmentTimer (36.321 §5.2; expiry flushes HARQ and stops
+        # UL transmission until the next RA — mac.cc:358-362)
+        self.time_alignment_timer = self.timers.get_unique()
+        self.time_alignment_timer.set(10240, self._time_alignment_expired)
+        self.ul_time_aligned = False
         self._rar_window: tuple[int, int, int] | None = None  # (ra_rnti, start, len)
         self._pending_msg3: bytes | None = None
         self._deliver_temp_crnti = False
@@ -226,6 +231,8 @@ class Mac:
 
     def _ra_complete(self, crnti: int) -> None:
         self.crnti = crnti
+        self.temp_crnti = 0
+        self._deliver_temp_crnti = False
         self.phy.pdcch_dl_search_crnti(crnti)
         if self.rrc is not None:
             self.rrc.ra_completed()
@@ -240,6 +247,19 @@ class Mac:
 
     def _on_ta(self, ta: int) -> None:
         self.phy.set_timeadv(ta)
+        self.ul_time_aligned = True
+        self.time_alignment_timer.run()
+
+    def _time_alignment_expired(self, timer_id: int) -> None:
+        """timeAlignmentTimerExpire (mac.cc:358-362): flush HARQ buffers,
+        UL out of sync until the next RA."""
+        self.ul_time_aligned = False
+        self.dl_harq.reset()
+        self.ul_harq.reset()
+
+    def set_time_alignment_timer(self, ttis: int) -> None:
+        """SIB2 timeAlignmentTimer config fan-out."""
+        self.time_alignment_timer.set(ttis, self._time_alignment_expired)
 
     def _on_con_res(self, crid: bytes) -> bool:
         return self.ra.con_res_id_received(crid)

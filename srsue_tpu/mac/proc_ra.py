@@ -135,6 +135,7 @@ class RaProc:
         for rar in rars:
             if rar.rapid == self.preamble_idx:
                 self.on_timing_advance(rar.ta)  # process_timeadv_cmd
+                self.last_rar = rar
                 self.t_crnti = rar.t_crnti
                 assert self.msg3 is not None
                 self.send_msg3(self.msg3, rar.t_crnti)

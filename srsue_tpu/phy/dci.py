@@ -306,6 +306,18 @@ def dci0_to_grant(cell: Cell, d: Dci0) -> UlGrant:
     )
 
 
+def rar_to_ul_grant(cell: Cell, rar_grant) -> UlGrant:
+    """20-bit RAR grant -> Msg3 UL grant (srslte_ra_rar_to_ul_grant
+    parity; truncated type-2 RIV + 4-bit MCS)."""
+    start, length = riv_decode(cell.n_prb, rar_grant.riv)
+    mod, i_tbs = ra.mcs_to_mod_itbs(min(rar_grant.mcs, 28))
+    return UlGrant(
+        n_prb=length, prb_start=start, mcs=rar_grant.mcs,
+        mod_order=min(mod, 2),  # Msg3 is QPSK
+        tbs=ra.tbs(i_tbs, length),
+    )
+
+
 def dci1_to_grant(cell: Cell, d: Dci1) -> DlGrant:
     p = rbg_size(cell.n_prb)
     nbg = math.ceil(cell.n_prb / p)

@@ -330,3 +330,28 @@ def test_phr_periodic():
         phr.step(t)
     v = phr.generate_phr(17.0)
     assert v == 40  # 17 + 23
+
+
+def test_time_alignment_timer_flushes_harq():
+    from srsue_tpu.mac.mac import Mac
+
+    class PhyStub:
+        def sr_opportunity(self, t): return False
+        def sr_send(self, t): pass
+        def set_timeadv(self, ta): self.ta = ta
+        def get_headroom_db(self): return 10.0
+        def pdcch_dl_search_crnti(self, c): pass
+        def pdcch_dl_search_temp_crnti(self, c): pass
+        def pdcch_dl_search_rar(self, *a): pass
+        def prach_send(self, *a): return 0
+
+    rlc = FakeRlc()
+    mac = Mac(rlc=rlc, phy=PhyStub())
+    mac.set_time_alignment_timer(5)
+    mac._on_ta(17)
+    assert mac.ul_time_aligned
+    mac.ul_harq.new_tx(0, b"pending")
+    for t in range(6):
+        mac.run_tti(t)
+    assert not mac.ul_time_aligned  # timer expired
+    assert not mac.ul_harq.has_pending(8)  # HARQ flushed
