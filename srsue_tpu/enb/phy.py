@@ -192,10 +192,10 @@ class EnbPhy:
         if g is not None:
             import jax.numpy as jnp
 
-            from ..utils.jaxutil import to_host
+            from ..utils.jaxutil import to_device_complex, to_host
 
             codec = pusch.PuschCodec(self.cell, g, self.crnti, tti % 10)
-            bits, ok = codec.decode_sf(jnp.asarray(samples[None]),
+            bits, ok = codec.decode_sf(to_device_complex(samples[None]),
                                        noise_var=1e-4)
             good = bool(to_host(ok).all())
             self._phich_at[tti + 4] = good  # HARQ feedback rides PHICH

@@ -18,7 +18,7 @@ import numpy as np
 from . import chest, enb_tx, equalize, ofdm, ra
 from .cell import Cell
 from .pdsch import PdschCodec
-from ..utils.jaxutil import to_host
+from ..utils.jaxutil import to_device_complex, to_host
 
 
 @dataclass
@@ -81,7 +81,7 @@ def sweep_pdsch(
     out = []
     for snr in snrs_db:
         noisy, _ = enb_tx.awgn(rng, td, snr, signal_power=p_sig)
-        n_ok, iters = rx(jnp.asarray(noisy))
+        n_ok, iters = rx(to_device_complex(noisy))
         n_ok = float(to_host(n_ok))
         out.append(
             BlerPoint(

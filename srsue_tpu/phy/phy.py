@@ -24,7 +24,7 @@ from .pucch import encode_format1
 from ..mac import pdu as pdu_mod
 from ..mac.mac import SI_RNTI
 from ..rrc.si_sched import sib1_occasion
-from ..utils.jaxutil import to_host
+from ..utils.jaxutil import to_device_complex, to_host
 
 HARQ_DELAY = 4
 
@@ -109,7 +109,7 @@ class Phy:
         import jax.numpy as jnp
 
         sf = tti % 10
-        grid = ofdm.demodulate(self.cell, jnp.asarray(dl_samples))
+        grid = ofdm.demodulate(self.cell, to_device_complex(dl_samples))
         h, nvar, rsrp = chest.estimate(self.cell, grid, sf, port=0)
         g_eq, nv_eff = equalize.zf(grid, h, nvar)
         cfi_dev, _ = control.pcfich_decode(self.cell, g_eq, nv_eff, sf)

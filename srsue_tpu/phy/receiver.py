@@ -21,7 +21,7 @@ import numpy as np
 from . import chest, equalize, ofdm, pbch, sync
 from .cell import Cell
 from ..radio.radio import Radio
-from ..utils.jaxutil import to_host
+from ..utils.jaxutil import to_device_complex, to_host
 
 
 @dataclass
@@ -46,7 +46,7 @@ class Receiver:
         decim = int(round(srate / search_srate))
         n = int(n_frames * 10e-3 * srate)
         samples, ts = self.radio.rx_now(n)
-        low = sync.decimate(jnp.asarray(samples), decim)
+        low = sync.decimate(to_device_complex(samples), decim)
 
         cell6 = Cell(n_prb=6)
         half_len = 5 * cell6.sf_len  # 5 ms at search rate
@@ -128,7 +128,8 @@ class Receiver:
             t_offset = target
             skip_sf = 10
             decim = int(round(self.radio.srate / cell6.srate))
-            low = sync.decimate(jnp.asarray(sf0), decim) if decim > 1 else jnp.asarray(sf0)
+            low = (sync.decimate(to_device_complex(sf0), decim)
+                   if decim > 1 else to_device_complex(sf0))
             low = sync.cfo_correct(low, cfo, cell6.nfft)
             grid = ofdm.demodulate(cell6, low)
             h, nvar, _ = chest.estimate(cell6, grid, 0, port=0)
@@ -154,7 +155,7 @@ class Receiver:
         tti = (start_sfn * 10 + start_sf) % 10240
         for _ in range(n):
             raw, ts = self.radio.rx_now(sf_len)
-            iq = sync.cfo_correct(jnp.asarray(raw), cfo, cell.nfft)
+            iq = sync.cfo_correct(to_device_complex(raw), cfo, cell.nfft)
             # track residual CFO from the first symbol's CP
             cp = cell.cp_lengths[0]
             resid = float(to_host(sync.cfo_estimate_cp(iq, cell.nfft, cp)))

@@ -5,7 +5,9 @@ backends support (all established empirically, see
 .claude/skills/verify/SKILL.md):
 
 * gathers/scatters on complex64 operands -> paired real/imag ops here;
-* device->host copies of complex64 arrays -> ``to_host_complex``.
+* device->host copies of complex64 arrays -> ``to_host_complex``;
+* host->device transfers of complex64 arrays -> ``to_device_complex``
+  (the transfer itself returns UNIMPLEMENTED; float32 pairs are fine).
 
 XLA fuses the split/recombine, so on full backends this costs nothing.
 """
@@ -37,6 +39,30 @@ def to_host(x) -> np.ndarray:
     if dt == jnp.float32:
         return np.asarray(x)
     return np.asarray(x.astype(jnp.float32)).astype(dt)
+
+
+def iq_pairs(x: np.ndarray) -> np.ndarray:
+    """Host complex array -> float32 ``[..., 2]`` (re, im) pairs — the only
+    IQ layout that crosses the host->device boundary safely everywhere."""
+    out = np.empty(x.shape + (2,), np.float32)
+    out[..., 0] = x.real
+    out[..., 1] = x.imag
+    return out
+
+
+def iq_complex(x: jnp.ndarray) -> jnp.ndarray:
+    """Device float32 ``[..., 2]`` pairs -> complex64 (inside or outside
+    jit; eagerly this is a cheap on-device op)."""
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def to_device_complex(x: np.ndarray) -> jnp.ndarray:
+    """Host complex array -> device complex64 without a complex transfer.
+
+    The axon runtime's H2D path rejects complex64 outright (UNIMPLEMENTED,
+    discovered empirically); real/imag go across as one float32 array and
+    are combined on device."""
+    return iq_complex(jnp.asarray(iq_pairs(np.asarray(x))))
 
 
 def cgather(x: jnp.ndarray, idx, axis: int = -1) -> jnp.ndarray:
