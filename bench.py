@@ -30,8 +30,10 @@ import numpy as np
 
 BASELINE_MBPS = 60.0
 # ~30 ms of the per-call time is fixed relay dispatch+readback latency;
-# batch until the marginal per-subframe compute (~0.6 ms) dominates.
-B_DEFAULT = 128
+# batch until the marginal per-subframe compute (~0.25 ms) dominates.
+# (B=512 reaches 220 Mbps but its compile+input-build time crowds the
+# child timeout; 256 keeps >60% of the asymptote with margin.)
+B_DEFAULT = 256
 
 
 def build_input(B: int):

@@ -31,6 +31,28 @@ from ..utils.jaxutil import cgather
 FILLER_LLR = 1e4  # known-zero filler bits: saturated "bit 0" prior
 
 
+def _turbo_decode(d, k, n_iters, crc_mat):
+    """Pick the BCJR backend: the hand-written Pallas kernel on TPU (2x
+    the pure-JAX windowed decoder at production batch sizes — it keeps
+    alphas in VMEM scratch instead of round-tripping them through HBM),
+    the lax.scan decoder elsewhere (CPU tests, and K with no valid
+    window)."""
+    import jax
+    import os
+
+    window = turbo.pick_window(k)
+    if (
+        window is not None
+        and jax.default_backend() == "tpu"
+        and os.environ.get("SRSUE_TPU_NO_PALLAS", "0") != "1"
+    ):
+        from . import turbo_pallas
+
+        return turbo_pallas.decode(d, k, n_iters=n_iters, crc_mat=crc_mat,
+                                   window=window)
+    return turbo.decode(d, k, n_iters=n_iters, crc_mat=crc_mat)
+
+
 class PdschCodec:
     """Static-shape PDSCH encoder/decoder for one configuration bucket."""
 
@@ -181,8 +203,8 @@ class PdschCodec:
             lead = buf.shape[:-2]
             count = buf.shape[-2]
             d = buf.reshape((-1, 3, k + 4))
-            hard, iters, ok = turbo.decode(
-                d, k, n_iters=self.n_turbo_iters, crc_mat=self._blk_crc[k]
+            hard, iters, ok = _turbo_decode(
+                d, k, self.n_turbo_iters, self._blk_crc[k]
             )
             hard = hard.reshape(lead + (count, k))
             hard_blocks.append(hard)
