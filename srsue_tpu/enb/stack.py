@@ -54,63 +54,137 @@ class EnbStack:
         self.t_crnti = 0x4601
         self.events: list[str] = []
         self.attach_request: NM.AttachRequest | None = None
+        self.ue_capability: dict | None = None
         self.drb_lcid = 3
         self.ue_ip = "172.16.0.2"
 
     # ------------------------------------------------- broadcast
     def make_sib1(self) -> bytes:
-        return M.pack(M.BCCH_DLSCH, ("sib1", {
-            "plmn": {"mcc": 1, "mnc": 1}, "tac": 0x1234, "cell_id": 0x0101,
-            "cell_barred": False, "intra_freq_resel": True, "q_rx_lev_min": 10,
-            "freq_band": 7, "si_window_len": "ms20", "si_periodicity": "rf16",
-            "sys_info_value_tag": 0,
-        }))
+        return M.pack_sib1({
+            "cellAccessRelatedInfo": {
+                "plmn_IdentityList": [{
+                    "plmn_Identity": M.plmn(mcc=1, mnc=1),
+                    "cellReservedForOperatorUse": "notReserved",
+                }],
+                "trackingAreaCode": 0x1234,
+                "cellIdentity": 0x0101,
+                "cellBarred": "notBarred",
+                "intraFreqReselection": "allowed",
+                "csg_Indication": False,
+            },
+            "cellSelectionInfo": {"q_RxLevMin": -60},
+            "freqBandIndicator": 7,
+            "schedulingInfoList": [{
+                "si_Periodicity": "rf16",
+                "sib_MappingInfo": [],  # first SI message implicitly = SIB2
+            }],
+            "si_WindowLength": "ms20",
+            "systemInfoValueTag": 0,
+        })
 
     def make_sib2(self) -> bytes:
-        return M.pack(M.BCCH_DLSCH, ("sib2", {
-            "rach": {"n_preambles": "n52", "preamble_init_power": "dbm-104",
-                     "power_ramp_step": "db4", "preamble_trans_max": "n10",
-                     "response_window": "sf10", "contention_res_timer": "sf64",
-                     "max_harq_msg3_tx": 5},
-            "prach": {"root_sequence_index": 128, "config_index": 3,
-                      "high_speed_flag": False, "zero_correlation_zone": 5,
-                      "freq_offset": 2},
-            "pusch": {"n_sb": 1, "hopping_mode": "interSubFrame",
-                      "hopping_offset": 2, "enable_64qam": False,
-                      "group_hopping": False, "group_assignment": 0,
-                      "seq_hopping": False, "cyclic_shift": 0},
-            "pucch": {"delta_shift": "ds1", "n_rb_cqi": 1, "n_cs_an": 0,
-                      "n1_pucch_an": 2},
-            "ul_power": {"p0_nominal_pusch": 41, "alpha": "al07",
-                         "p0_nominal_pucch": 21, "delta_preamble_msg3": 6},
-            "pdsch_rs_power": 60, "phich_duration": "normal",
-            "phich_resources": "one", "sr_config_index": 17,
-            "ul_bandwidth": None, "additional_spectrum_emission": 1,
-            "time_alignment_timer": "sf10240",
-        }))
+        return M.pack_si_sib2({
+            "radioResourceConfigCommon": {
+                "rach_ConfigCommon": {
+                    "preambleInfo": {"numberOfRA_Preambles": "n52"},
+                    "powerRampingParameters": {
+                        "powerRampingStep": "dB4",
+                        "preambleInitialReceivedTargetPower": "dBm-104",
+                    },
+                    "ra_SupervisionInfo": {
+                        "preambleTransMax": "n10",
+                        "ra_ResponseWindowSize": "sf10",
+                        "mac_ContentionResolutionTimer": "sf64",
+                    },
+                    "maxHARQ_Msg3Tx": 5,
+                },
+                "bcch_Config": {"modificationPeriodCoeff": "n2"},
+                "pcch_Config": {"defaultPagingCycle": "rf128", "nB": "oneT"},
+                "prach_Config": {
+                    "rootSequenceIndex": 128,
+                    "prach_ConfigInfo": {
+                        "prach_ConfigIndex": 3,
+                        "highSpeedFlag": False,
+                        "zeroCorrelationZoneConfig": 5,
+                        "prach_FreqOffset": 2,
+                    },
+                },
+                "pdsch_ConfigCommon": {"referenceSignalPower": 0, "p_b": 0},
+                "pusch_ConfigCommon": {
+                    "pusch_ConfigBasic": {
+                        "n_SB": 1, "hoppingMode": "interSubFrame",
+                        "pusch_HoppingOffset": 2, "enable64QAM": False,
+                    },
+                    "ul_ReferenceSignalsPUSCH": {
+                        "groupHoppingEnabled": False,
+                        "groupAssignmentPUSCH": 0,
+                        "sequenceHoppingEnabled": False,
+                        "cyclicShift": 0,
+                    },
+                },
+                "pucch_ConfigCommon": {
+                    "deltaPUCCH_Shift": "ds1", "nRB_CQI": 1,
+                    "nCS_AN": 0, "n1PUCCH_AN": 2,
+                },
+                "soundingRS_UL_ConfigCommon": ("release", None),
+                "uplinkPowerControlCommon": {
+                    "p0_NominalPUSCH": -85,
+                    "alpha": "al07",
+                    "p0_NominalPUCCH": -106,
+                    "deltaFList_PUCCH": {
+                        "deltaF_PUCCH_Format1": "deltaF0",
+                        "deltaF_PUCCH_Format1b": "deltaF3",
+                        "deltaF_PUCCH_Format2": "deltaF0",
+                        "deltaF_PUCCH_Format2a": "deltaF0",
+                        "deltaF_PUCCH_Format2b": "deltaF0",
+                    },
+                    "deltaPreambleMsg3": 3,  # = +6 dB (units of 2 dB)
+                },
+                "ul_CyclicPrefixLength": "len1",
+            },
+            "ue_TimersAndConstants": {
+                "t300": "ms1000", "t301": "ms1000", "t310": "ms1000",
+                "n310": "n1", "t311": "ms1000", "n311": "n1",
+            },
+            "freqInfo": {"additionalSpectrumEmission": 1},
+            "timeAlignmentTimerCommon": "sf10240",
+        })
 
     # ------------------------------------------------- RLC-facing plumbing
     def _on_ccch(self, sdu: bytes) -> None:
-        kind, body = M.unpack(M.UL_CCCH, sdu)
-        if kind == "rrcConnectionRequest":
+        name, _, body = M.unpack("UL-CCCH", sdu)
+        if name == "rrcConnectionRequest":
             self.events.append("con_request")
-            setup = M.pack(
-                M.DL_CCCH,
-                (
-                    "rrcConnectionSetup",
-                    {
-                        "srb1_config": {
-                            "lcid": 1, "rlc_mode": "am", "priority": 1,
-                            "pbr_kbps": 0, "pdcp_sn_bits": None,
+            setup = M.pack("DL-CCCH", "rrcConnectionSetup", {
+                "radioResourceConfigDedicated": {
+                    "srb_ToAddModList": [{
+                        "srb_Identity": 1,
+                        "rlc_Config": ("defaultValue", None),
+                        "logicalChannelConfig": ("defaultValue", None),
+                    }],
+                    "physicalConfigDedicated": {
+                        "cqi_ReportConfig": {
+                            "nomPDSCH_RS_EPRE_Offset": 0,
+                            "cqi_ReportPeriodic": ("setup", {
+                                "cqi_PUCCH_ResourceIndex": 0,
+                                "cqi_pmi_ConfigIndex": 40,
+                                "cqi_FormatIndicatorPeriodic":
+                                    ("widebandCQI", None),
+                                "simultaneousAckNackAndCQI": False,
+                            }),
                         },
-                        "phys_config": {
-                            "cqi_period": 40, "cqi_pucch_resource": 0,
-                            "sr_config_index": 17, "sr_pucch_resource": 1,
-                            "p_srs_offset": None, "ant_mode": "tm1",
-                        },
+                        "schedulingRequestConfig": ("setup", {
+                            "sr_PUCCH_ResourceIndex": 1,
+                            "sr_ConfigIndex": 17,
+                            "dsr_TransMax": "n64",
+                        }),
+                        "antennaInfo": ("explicitValue", {
+                            "transmissionMode": "tm1",
+                            "ue_TransmitAntennaSelection": ("release", None),
+                        }),
                     },
-                ),
-            )
+                },
+            }, tid=0)
             self.srb0.write_sdu(setup)
             self.state = "wait_setup_complete"
 
@@ -127,26 +201,32 @@ class EnbStack:
         self.drb_pdcp.write_sdu(pkt)
 
     def _on_dcch_sdu(self, lcid: int, sdu: bytes) -> None:
-        kind, body = M.unpack(M.UL_DCCH, sdu)
+        kind, tid, body = M.unpack("UL-DCCH", sdu)
         self.events.append(kind)
         if kind == "rrcConnectionSetupComplete":
-            self.attach_request = NM.AttachRequest.unpack(body["nas_pdu"])
+            self.attach_request = NM.AttachRequest.unpack(
+                body["dedicatedInfoNAS"])
             self._send_auth_request()
         elif kind == "ulInformationTransfer":
-            self._on_nas(body["nas_pdu"])
+            info_kind, nas_pdu = body["dedicatedInfoType"]
+            if info_kind == "dedicatedInfoNAS":
+                self._on_nas(nas_pdu)
         elif kind == "securityModeComplete":
             self._send_capability_enquiry()
         elif kind == "ueCapabilityInformation":
+            caps = body["ue_CapabilityRAT_ContainerList"]
+            self.ue_capability = next(
+                (M.parse_ue_eutra_capability(c["ueCapabilityRAT_Container"])
+                 for c in caps if c["rat_Type"] == "eutra"), None)
             self._send_reconfiguration_with_attach_accept()
         elif kind == "rrcConnectionReconfigurationComplete":
             self.reconfig_complete = True
 
     # ------------------------------------------------- NAS/MME side
     def _send_dl_info(self, nas_pdu: bytes) -> None:
-        msg = M.pack(
-            M.DL_DCCH,
-            ("dlInformationTransfer", {"transaction_id": 0, "nas_pdu": nas_pdu}),
-        )
+        msg = M.pack("DL-DCCH", "dlInformationTransfer", {
+            "dedicatedInfoType": ("dedicatedInfoNAS", nas_pdu),
+        }, tid=0)
         self.pdcp1.write_sdu(msg)
 
     def _send_auth_request(self) -> None:
@@ -200,16 +280,22 @@ class EnbStack:
             sec.kdf_as(k_enb, self.eea, "rrc_enc"),
             sec.kdf_as(k_enb, self.eia, "rrc_int"),
         )
-        msg = M.pack(
-            M.DL_DCCH,
-            ("securityModeCommand",
-             {"transaction_id": 1, "eea": self.eea, "eia": self.eia}),
-        )
+        msg = M.pack("DL-DCCH", "securityModeCommand", {
+            "securityConfigSMC": {
+                "securityAlgorithmConfig": {
+                    "cipheringAlgorithm": f"eea{self.eea}",
+                    "integrityProtAlgorithm":
+                        "reserved" if self.eia == 0 else f"eia{self.eia}",
+                },
+            },
+        }, tid=1)
         self.pdcp1.write_sdu(msg)
         self.pdcp1.enable_integrity()
 
     def _send_capability_enquiry(self) -> None:
-        msg = M.pack(M.DL_DCCH, ("ueCapabilityEnquiry", {"transaction_id": 2}))
+        msg = M.pack("DL-DCCH", "ueCapabilityEnquiry", {
+            "ue_CapabilityRequest": ["eutra"],
+        }, tid=2)
         self.pdcp1.write_sdu(msg)
 
     def _send_reconfiguration_with_attach_accept(self) -> None:
@@ -219,21 +305,41 @@ class EnbStack:
                         bytes([self.nas_count_dl & 0xFF]) + nas)
         nas_sec = NM.secure_wrap(nas, self.nas_count_dl, mac4)
         self.nas_count_dl += 1
-        msg = M.pack(
-            M.DL_DCCH,
-            (
-                "rrcConnectionReconfiguration",
-                {
-                    "transaction_id": 3,
-                    "nas_pdu": nas_sec,
-                    "drb_configs": [
-                        {"lcid": self.drb_lcid, "rlc_mode": "am", "priority": 4,
-                         "pbr_kbps": 8, "pdcp_sn_bits": 12}
-                    ],
-                    "phys_config": None,
-                },
-            ),
-        )
+        msg = M.pack("DL-DCCH", "rrcConnectionReconfiguration", {
+            "dedicatedInfoNASList": [nas_sec],
+            "radioResourceConfigDedicated": {
+                "drb_ToAddModList": [{
+                    "eps_BearerIdentity": 5,
+                    "drb_Identity": 1,
+                    "pdcp_Config": {
+                        "discardTimer": "infinity",
+                        "rlc_AM": {"statusReportRequired": False},
+                        "headerCompression": ("notUsed", None),
+                    },
+                    "rlc_Config": ("am", {
+                        "ul_AM_RLC": {
+                            "t_PollRetransmit": "ms45",
+                            "pollPDU": "p64",
+                            "pollByte": "kB500",
+                            "maxRetxThreshold": "t4",
+                        },
+                        "dl_AM_RLC": {
+                            "t_Reordering": "ms35",
+                            "t_StatusProhibit": "ms0",
+                        },
+                    }),
+                    "logicalChannelIdentity": self.drb_lcid,
+                    "logicalChannelConfig": {
+                        "ul_SpecificParameters": {
+                            "priority": 4,
+                            "prioritisedBitRate": "kBps8",
+                            "bucketSizeDuration": "ms100",
+                            "logicalChannelGroup": 2,
+                        },
+                    },
+                }],
+            },
+        }, tid=3)
         self.pdcp1.write_sdu(msg)
 
     # ------------------------------------------------- transport pump

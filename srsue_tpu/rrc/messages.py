@@ -1,215 +1,182 @@
-"""RRC message schemas — 36.331, the ~subset srsUE touches
-(SURVEY.md §2.3: MIB/SIB1/SIB2 acquisition, connection establishment,
-security mode, capability transfer, reconfiguration; senders/parsers at
-ue/src/upper/rrc.cc:203-525).
+"""RRC message channel API — bit-exact 36.331 Rel-8 UPER on the wire.
 
-Declarative schemas over rrc.bitcodec (UPER-style: presence bitmaps +
-unaligned fixed-width fields). Field sets mirror the IEs the reference
-actually consumes (its config fan-out rrc.cc:589-860); encoding is
-self-consistent across our UE and eNB emulator.
+The schemas live in rrc/asn1.py (over the UPER engine in rrc/uper.py);
+this module provides the channel-level pack/unpack the stack uses,
+hiding the c1 / criticalExtensions nesting boilerplate:
+
+    pack("UL-CCCH", "rrcConnectionRequest", {...})            -> bytes
+    unpack("DL-DCCH", data) -> (name, transaction_id, r8_body)
+
+Replaces the reference's per-message liblte entry points
+(liblte_rrc_pack_*_msg / liblte_rrc_unpack_*_msg, liblte/hdr/
+liblte_rrc.h:6628-6785) for the message set srsUE touches
+(ue/src/upper/rrc.cc:203-525).
 """
 
 from __future__ import annotations
 
-from .bitcodec import (
-    Bool, Choice, Enum, FixedBytes, Seq, SeqOf, Uint, VarBytes,
-    decode_msg, encode_msg,
-)
+from . import asn1 as A
+from . import uper
 
-# ---------------------------------------------------------------------------
-# System information
-# ---------------------------------------------------------------------------
+CHANNELS = {
+    "UL-CCCH": A.UL_CCCH_Message,
+    "DL-CCCH": A.DL_CCCH_Message,
+    "UL-DCCH": A.UL_DCCH_Message,
+    "DL-DCCH": A.DL_DCCH_Message,
+    "BCCH-DL-SCH": A.BCCH_DL_SCH_Message,
+    "PCCH": A.PCCH_Message,
+}
 
-PLMN_IDENTITY = Seq(
-    ("mcc", Uint(10)),
-    ("mnc", Uint(10)),
-)
-
-SIB1 = Seq(
-    ("plmn", PLMN_IDENTITY),
-    ("tac", Uint(16)),
-    ("cell_id", Uint(28)),
-    ("cell_barred", Bool()),
-    ("intra_freq_resel", Bool()),
-    ("q_rx_lev_min", Uint(6)),  # -70..-22 offset coded
-    ("freq_band", Uint(6, lo=1)),
-    ("si_window_len", Enum("ms1", "ms2", "ms5", "ms10", "ms15", "ms20", "ms40")),
-    ("si_periodicity", Enum("rf8", "rf16", "rf32", "rf64", "rf128", "rf256", "rf512")),
-    ("sys_info_value_tag", Uint(5)),
-)
-
-PRACH_CONFIG = Seq(
-    ("root_sequence_index", Uint(10)),
-    ("config_index", Uint(6)),
-    ("high_speed_flag", Bool()),
-    ("zero_correlation_zone", Uint(4)),
-    ("freq_offset", Uint(7)),
-)
-
-RACH_CONFIG = Seq(
-    ("n_preambles", Enum(*[f"n{i}" for i in range(4, 68, 4)])),
-    ("preamble_init_power", Enum(*[f"dbm{p}" for p in range(-120, -88, 2)])),
-    ("power_ramp_step", Enum("db0", "db2", "db4", "db6")),
-    ("preamble_trans_max", Enum("n3", "n4", "n5", "n6", "n7", "n8", "n10",
-                                "n20", "n50", "n100", "n200")),
-    ("response_window", Enum("sf2", "sf3", "sf4", "sf5", "sf6", "sf7", "sf8", "sf10")),
-    ("contention_res_timer", Enum("sf8", "sf16", "sf24", "sf32", "sf40",
-                                  "sf48", "sf56", "sf64")),
-    ("max_harq_msg3_tx", Uint(3, lo=1)),
-)
-
-PUSCH_CONFIG = Seq(
-    ("n_sb", Uint(2, lo=1)),
-    ("hopping_mode", Enum("interSubFrame", "intraAndInterSubFrame")),
-    ("hopping_offset", Uint(7)),
-    ("enable_64qam", Bool()),
-    ("group_hopping", Bool()),
-    ("group_assignment", Uint(5)),
-    ("seq_hopping", Bool()),
-    ("cyclic_shift", Uint(3)),
-)
-
-PUCCH_CONFIG = Seq(
-    ("delta_shift", Enum("ds1", "ds2", "ds3")),
-    ("n_rb_cqi", Uint(7)),
-    ("n_cs_an", Uint(3)),
-    ("n1_pucch_an", Uint(11)),
-)
-
-UL_POWER_CONTROL = Seq(
-    ("p0_nominal_pusch", Uint(8)),  # -126..24 offset coded
-    ("alpha", Enum("al0", "al04", "al05", "al06", "al07", "al08", "al09", "al1")),
-    ("p0_nominal_pucch", Uint(5)),  # -127..-96 offset coded
-    ("delta_preamble_msg3", Uint(4)),
-)
-
-SIB2 = Seq(
-    ("rach", RACH_CONFIG),
-    ("prach", PRACH_CONFIG),
-    ("pusch", PUSCH_CONFIG),
-    ("pucch", PUCCH_CONFIG),
-    ("ul_power", UL_POWER_CONTROL),
-    ("pdsch_rs_power", Uint(7)),  # -60..50
-    ("phich_duration", Enum("normal", "extended")),
-    ("phich_resources", Enum("oneSixth", "half", "one", "two")),
-    ("sr_config_index", Uint(8), True),
-    ("ul_bandwidth", Enum("n6", "n15", "n25", "n50", "n75", "n100"), True),
-    ("additional_spectrum_emission", Uint(5)),
-    ("time_alignment_timer", Enum("sf500", "sf750", "sf1280", "sf1920",
-                                  "sf2560", "sf5120", "sf10240", "infinity")),
-)
-
-BCCH_DLSCH = Choice(
-    ("sib1", SIB1),
-    ("sib2", SIB2),
-)
-
-# ---------------------------------------------------------------------------
-# Connection establishment / dedicated
-# ---------------------------------------------------------------------------
-
-RRC_CONNECTION_REQUEST = Seq(
-    ("ue_id", FixedBytes(5)),  # 40-bit random / S-TMSI
-    ("cause", Enum("emergency", "highPriorityAccess", "mt-Access",
-                   "mo-Signalling", "mo-Data")),
-)
-
-RB_CONFIG = Seq(
-    ("lcid", Uint(4)),
-    ("rlc_mode", Enum("tm", "um", "am")),
-    ("priority", Uint(4)),
-    ("pbr_kbps", Uint(16)),
-    ("pdcp_sn_bits", Uint(4), True),
-)
-
-PHYS_CONFIG_DEDICATED = Seq(
-    ("cqi_period", Uint(10), True),
-    ("cqi_pucch_resource", Uint(11), True),
-    ("sr_config_index", Uint(8), True),
-    ("sr_pucch_resource", Uint(11), True),
-    ("p_srs_offset", Uint(4), True),
-    ("ant_mode", Enum("tm1", "tm2"), True),
-)
-
-RRC_CONNECTION_SETUP = Seq(
-    ("srb1_config", RB_CONFIG),
-    ("phys_config", PHYS_CONFIG_DEDICATED),
-)
-
-RRC_CONNECTION_SETUP_COMPLETE = Seq(
-    ("transaction_id", Uint(2)),
-    ("selected_plmn", Uint(3, lo=1)),
-    ("nas_pdu", VarBytes()),
-)
-
-SECURITY_MODE_COMMAND = Seq(
-    ("transaction_id", Uint(2)),
-    ("eea", Uint(3)),
-    ("eia", Uint(3)),
-)
-
-SECURITY_MODE_COMPLETE = Seq(("transaction_id", Uint(2)),)
-SECURITY_MODE_FAILURE = Seq(("transaction_id", Uint(2)),)
-
-UE_CAPABILITY_ENQUIRY = Seq(("transaction_id", Uint(2)),)
-
-UE_CAPABILITY_INFORMATION = Seq(
-    ("transaction_id", Uint(2)),
-    ("ue_category", Uint(4, lo=1)),
-    ("rohc_supported", Bool()),
-)
-
-RRC_CONNECTION_RECONFIGURATION = Seq(
-    ("transaction_id", Uint(2)),
-    ("nas_pdu", VarBytes(), True),
-    ("drb_configs", SeqOf(RB_CONFIG, size_bits=4), True),
-    ("phys_config", PHYS_CONFIG_DEDICATED, True),
-)
-
-RRC_CONNECTION_RECONFIGURATION_COMPLETE = Seq(("transaction_id", Uint(2)),)
-
-DL_INFORMATION_TRANSFER = Seq(
-    ("transaction_id", Uint(2)),
-    ("nas_pdu", VarBytes()),
-)
-
-UL_INFORMATION_TRANSFER = Seq(("nas_pdu", VarBytes()),)
-
-RRC_CONNECTION_RELEASE = Seq(
-    ("transaction_id", Uint(2)),
-    ("cause", Enum("loadBalancing", "other")),
-)
-
-# channel-level message wrappers -------------------------------------------
-
-UL_CCCH = Choice(("rrcConnectionRequest", RRC_CONNECTION_REQUEST),)
-
-DL_CCCH = Choice(
-    ("rrcConnectionSetup", RRC_CONNECTION_SETUP),
-    ("rrcConnectionReject", Seq(("wait_time", Uint(4, lo=1)),)),
-)
-
-UL_DCCH = Choice(
-    ("rrcConnectionSetupComplete", RRC_CONNECTION_SETUP_COMPLETE),
-    ("securityModeComplete", SECURITY_MODE_COMPLETE),
-    ("securityModeFailure", SECURITY_MODE_FAILURE),
-    ("ueCapabilityInformation", UE_CAPABILITY_INFORMATION),
-    ("rrcConnectionReconfigurationComplete", RRC_CONNECTION_RECONFIGURATION_COMPLETE),
-    ("ulInformationTransfer", UL_INFORMATION_TRANSFER),
-)
-
-DL_DCCH = Choice(
-    ("securityModeCommand", SECURITY_MODE_COMMAND),
-    ("ueCapabilityEnquiry", UE_CAPABILITY_ENQUIRY),
-    ("rrcConnectionReconfiguration", RRC_CONNECTION_RECONFIGURATION),
-    ("dlInformationTransfer", DL_INFORMATION_TRANSFER),
-    ("rrcConnectionRelease", RRC_CONNECTION_RELEASE),
-)
+# (channel, msgName) -> (has_transaction_id, r8_suffix_name | None)
+# r8 name None => the message body IS the c1 alternative (SIB1, Paging).
+_SHAPE = {
+    ("UL-CCCH", "rrcConnectionRequest"): (False, "rrcConnectionRequest-r8"),
+    ("UL-CCCH", "rrcConnectionReestablishmentRequest"):
+        (False, "rrcConnectionReestablishmentRequest-r8"),
+    ("DL-CCCH", "rrcConnectionSetup"): (True, "rrcConnectionSetup-r8"),
+    ("DL-CCCH", "rrcConnectionReject"): (False, "rrcConnectionReject-r8"),
+    ("DL-CCCH", "rrcConnectionReestablishment"):
+        (True, "rrcConnectionReestablishment-r8"),
+    ("DL-CCCH", "rrcConnectionReestablishmentReject"):
+        (False, "rrcConnectionReestablishmentReject-r8"),
+    ("UL-DCCH", "rrcConnectionSetupComplete"):
+        (True, "rrcConnectionSetupComplete-r8"),
+    ("UL-DCCH", "securityModeComplete"): (True, "securityModeComplete-r8"),
+    ("UL-DCCH", "securityModeFailure"): (True, "securityModeFailure-r8"),
+    ("UL-DCCH", "ueCapabilityInformation"):
+        (True, "ueCapabilityInformation-r8"),
+    ("UL-DCCH", "rrcConnectionReconfigurationComplete"):
+        (True, "rrcConnectionReconfigurationComplete-r8"),
+    ("UL-DCCH", "rrcConnectionReestablishmentComplete"):
+        (True, "rrcConnectionReestablishmentComplete-r8"),
+    ("UL-DCCH", "ulInformationTransfer"):
+        (False, "ulInformationTransfer-r8"),
+    ("DL-DCCH", "dlInformationTransfer"): (True, "dlInformationTransfer-r8"),
+    ("DL-DCCH", "rrcConnectionReconfiguration"):
+        (True, "rrcConnectionReconfiguration-r8"),
+    ("DL-DCCH", "rrcConnectionRelease"): (True, "rrcConnectionRelease-r8"),
+    ("DL-DCCH", "securityModeCommand"): (True, "securityModeCommand-r8"),
+    ("DL-DCCH", "ueCapabilityEnquiry"): (True, "ueCapabilityEnquiry-r8"),
+    ("BCCH-DL-SCH", "systemInformation"): (False, "systemInformation-r8"),
+    ("BCCH-DL-SCH", "systemInformationBlockType1"): (False, None),
+    ("PCCH", "paging"): (False, None),
+}
 
 
-def pack(channel, value) -> bytes:
-    return encode_msg(channel, value)
+def _wrap_crit(r8_name: str, body):
+    """Wrap an -r8-IEs body back into its criticalExtensions CHOICE; the
+    codec (crit_ext_plain vs crit_ext_c1) decides how many spare bits the
+    selector takes — the value shape is the same either way."""
+    return (r8_name, body)
 
 
-def unpack(channel, data: bytes):
-    return decode_msg(channel, data)
+def pack(channel: str, name: str, body: dict, tid: int = 0) -> bytes:
+    has_tid, r8 = _SHAPE[(channel, name)]
+    if r8 is None:
+        msg_val = body
+    else:
+        crit = _wrap_crit(r8, body)
+        # crit_ext_c1 shapes need the extra ("c1", ...) level; detect from
+        # the schema: plain crit-ext choices have the r8 name as an alt.
+        codec = _msg_codec(channel, name)
+        crit_codec = _crit_codec(codec, has_tid)
+        if _is_c1(crit_codec, r8):
+            crit = ("c1", crit)
+        msg_val = {"criticalExtensions": crit}
+        if has_tid:
+            msg_val["rrc_TransactionIdentifier"] = tid
+    return uper.encode(
+        CHANNELS[channel],
+        {"message": ("c1", (name, msg_val))},
+    )
+
+
+def unpack(channel: str, data: bytes):
+    """-> (name, transaction_id, r8_body). For SIB1/Paging the body is the
+    message itself and transaction_id is 0."""
+    top = uper.decode(CHANNELS[channel], data)
+    kind, inner = top["message"]
+    if kind != "c1":
+        raise ValueError(f"{channel}: messageClassExtension not supported")
+    name, msg_val = inner
+    has_tid, r8 = _SHAPE.get((channel, name), (False, None))
+    if r8 is None:
+        return name, 0, msg_val
+    tid = msg_val.get("rrc_TransactionIdentifier", 0) if has_tid else 0
+    crit = msg_val["criticalExtensions"]
+    if crit[0] == "c1":
+        crit = crit[1]
+    got_name, body = crit
+    if got_name != r8:
+        raise ValueError(f"{channel}/{name}: unsupported extension {got_name}")
+    return name, tid, body
+
+
+def _msg_codec(channel: str, name: str):
+    c1 = dict(CHANNELS[channel].fields[0].codec.alts)["c1"]
+    return dict(c1.alts)[name]
+
+
+def _crit_codec(codec, has_tid: bool):
+    return codec.fields[1 if has_tid else 0].codec
+
+
+def _is_c1(crit_codec, r8: str) -> bool:
+    return all(a[0] != r8 for a in crit_codec.alts)
+
+
+# --------------------------------------------------------------------------
+# Convenience builders for the bodies the stack produces
+# --------------------------------------------------------------------------
+
+
+def plmn(mcc: int = 1, mnc: int = 1, mnc_digits: int = 2) -> dict:
+    return {
+        "mcc": [(mcc // 100) % 10, (mcc // 10) % 10, mcc % 10],
+        "mnc": [(mnc // 100) % 10, (mnc // 10) % 10, mnc % 10][-mnc_digits:],
+    }
+
+
+def pack_sib1(body: dict) -> bytes:
+    return pack("BCCH-DL-SCH", "systemInformationBlockType1", body)
+
+
+def pack_si_sib2(sib2_body: dict) -> bytes:
+    """SystemInformation carrying one SIB2 (the SI message srsUE's attach
+    needs, rrc.cc:571-582)."""
+    return pack("BCCH-DL-SCH", "systemInformation", {
+        "sib_TypeAndInfo": [("sib2", sib2_body)],
+    })
+
+
+def ue_eutra_capability(ue_category: int = 5,
+                        rohc: bool = False,
+                        band: int = 7) -> bytes:
+    """Encoded UE-EUTRA-Capability for the ueCapabilityRAT-Container
+    (reference fills category/bands via liblte, rrc.cc:352-429)."""
+    profiles = {f"profile0x{p}": rohc and p == "0001"
+                for p in ("0001", "0002", "0003", "0004", "0006",
+                          "0101", "0102", "0103", "0104")}
+    val = {
+        "accessStratumRelease": "rel8",
+        "ue_Category": ue_category,
+        "pdcp_Parameters": {"supportedROHC_Profiles": profiles},
+        "phyLayerParameters": {
+            "ue_TxAntennaSelectionSupported": False,
+            "ue_SpecificRefSigsSupported": False,
+        },
+        "rf_Parameters": {
+            "supportedBandListEUTRA": [
+                {"bandEUTRA": band, "halfDuplex": False}],
+        },
+        "measParameters": {
+            "bandListEUTRA": [
+                {"interFreqBandList": [{"interFreqNeedForGaps": False}]}],
+        },
+        "interRAT_Parameters": {},
+    }
+    return uper.encode(A.UE_EUTRA_Capability, val)
+
+
+def parse_ue_eutra_capability(data: bytes) -> dict:
+    return uper.decode(A.UE_EUTRA_Capability, data)

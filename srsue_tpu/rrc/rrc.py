@@ -65,47 +65,55 @@ class Rrc:
         pass  # receiver loop drives SI windows; hook point for schedulers
 
     def write_pdu_bcch_dlsch(self, payload: bytes) -> None:
-        """SIB container received on SI-RNTI."""
-        kind, body = M.unpack(M.BCCH_DLSCH, payload)
-        if kind == "sib1":
+        """SIB container received on SI-RNTI (BCCH-DL-SCH-Message UPER)."""
+        name, _, body = M.unpack("BCCH-DL-SCH", payload)
+        if name == "systemInformationBlockType1":
             self.sib1 = body
             if self.state == RrcState.SIB1_SEARCH:
                 self.state = RrcState.SIB2_SEARCH
-        elif kind == "sib2":
-            self.sib2 = body
-            self.apply_sib2_configs(body)
-            if self.state == RrcState.SIB2_SEARCH:
-                self.send_con_request()
+        elif name == "systemInformation":
+            for kind, sib in body["sib_TypeAndInfo"]:
+                if kind == "sib2":
+                    self.sib2 = sib
+                    self.apply_sib2_configs(sib)
+                    if self.state == RrcState.SIB2_SEARCH:
+                        self.send_con_request()
 
     def apply_sib2_configs(self, sib2: dict) -> None:
         """Config fan-out (rrc.cc:589-721): RACH/PRACH/PUSCH/PUCCH/power
-        parameters into MAC + PHY."""
+        parameters into MAC + PHY, from the spec-shaped SIB2 IEs."""
+        common = sib2["radioResourceConfigCommon"]
         if self.mac is not None and hasattr(self.mac, "ra"):
-            rach = sib2["rach"]
+            rach = common["rach_ConfigCommon"]
+            sup = rach["ra_SupervisionInfo"]
             cfg = self.mac.ra.cfg
-            cfg.preamble_trans_max = int(rach["preamble_trans_max"][1:])
-            cfg.power_ramp_db = int(rach["power_ramp_step"][2:])
-            cfg.response_window = int(rach["response_window"][2:])
-            cfg.contention_res_timer = int(rach["contention_res_timer"][2:])
+            cfg.preamble_trans_max = int(sup["preambleTransMax"][1:])
+            cfg.power_ramp_db = int(
+                rach["powerRampingParameters"]["powerRampingStep"][2:])
+            cfg.response_window = int(sup["ra_ResponseWindowSize"][2:])
+            cfg.contention_res_timer = int(
+                sup["mac_ContentionResolutionTimer"][2:])
         if self.phy is not None and hasattr(self.phy, "configure_ul_power"):
             from ..phy.powerctrl import UlPowerConfig
 
-            up = sib2["ul_power"]
+            up = common["uplinkPowerControlCommon"]
             self.phy.configure_ul_power(UlPowerConfig(
-                p0_nominal_pusch=float(up["p0_nominal_pusch"]) - 126.0,
+                p0_nominal_pusch=float(up["p0_NominalPUSCH"]),
                 alpha={"al0": 0.0, "al04": 0.4, "al05": 0.5, "al06": 0.6,
                        "al07": 0.7, "al08": 0.8, "al09": 0.9, "al1": 1.0}[
                     up["alpha"]],
-                p0_nominal_pucch=float(up["p0_nominal_pucch"]) - 127.0,
-                delta_preamble_msg3=float(up["delta_preamble_msg3"]),
+                p0_nominal_pucch=float(up["p0_NominalPUCCH"]),
+                # IE is in units of 2 dB (36.321 §5.1.3 DELTA_PREAMBLE_MSG3)
+                delta_preamble_msg3=2.0 * float(up["deltaPreambleMsg3"]),
             ))
         if self.phy is not None and hasattr(self.phy, "configure_prach"):
-            pr = sib2["prach"]
+            pr = common["prach_Config"]
+            info = pr["prach_ConfigInfo"]
             self.phy.configure_prach(
-                root_seq_index=pr["root_sequence_index"],
-                zero_corr=pr["zero_correlation_zone"],
-                freq_offset=pr["freq_offset"],
-                config_index=pr["config_index"],
+                root_seq_index=pr["rootSequenceIndex"],
+                zero_corr=info["zeroCorrelationZoneConfig"],
+                freq_offset=info["prach_FreqOffset"],
+                config_index=info["prach_ConfigIndex"],
             )
         if self.phy is not None and hasattr(self.phy, "configure_ul_params"):
             self.phy.configure_ul_params(sib2)
@@ -113,10 +121,12 @@ class Rrc:
     # ----------------------------------------------- connection establishment
     def send_con_request(self) -> None:
         self.state = RrcState.WAIT_CON_SETUP
-        msg = M.pack(
-            M.UL_CCCH,
-            ("rrcConnectionRequest", {"ue_id": self.ue_crid, "cause": "mo-Signalling"}),
-        )
+        msg = M.pack("UL-CCCH", "rrcConnectionRequest", {
+            "ue_Identity": ("randomValue",
+                            int.from_bytes(self.ue_crid, "big")),
+            "establishmentCause": "mo-Signalling",
+            "spare": 0,
+        })
         # CCCH SDU -> MAC triggers RA with this as Msg3 (mac.cc:186-190);
         # MAC derives the contention-resolution id from the SDU itself
         self.mac.start_ra(msg)
@@ -132,29 +142,41 @@ class Rrc:
             self._handle_dl_dcch(payload)
 
     def _handle_dl_ccch(self, payload: bytes) -> None:
-        kind, body = M.unpack(M.DL_CCCH, payload)
-        if kind == "rrcConnectionSetup":
-            self.handle_con_setup(body)
-        elif kind == "rrcConnectionReject":
+        name, tid, body = M.unpack("DL-CCCH", payload)
+        if name == "rrcConnectionSetup":
+            self.handle_con_setup(body, tid)
+        elif name == "rrcConnectionReject":
             self.state = RrcState.IDLE
 
-    def handle_con_setup(self, setup: dict) -> None:
+    @staticmethod
+    def _lc_priority(item: dict, default: int) -> int:
+        """Priority from an (SRB|DRB)-ToAddMod's logicalChannelConfig;
+        default per 36.331 §9.2.1 when defaultValue/absent."""
+        lc = item.get("logicalChannelConfig")
+        if isinstance(lc, tuple) and lc[0] == "explicitValue":
+            lc = lc[1]
+        if isinstance(lc, dict) and lc.get("ul_SpecificParameters"):
+            return lc["ul_SpecificParameters"]["priority"]
+        return default
+
+    def handle_con_setup(self, setup: dict, tid: int = 0) -> None:
         """rrc.cc:723: apply SRB1 + dedicated config, send SetupComplete
         with the NAS AttachRequest piggybacked."""
-        srb1 = setup["srb1_config"]
+        rrcd = setup["radioResourceConfigDedicated"]
+        prio = 1  # SRB1 default (36.331 §9.2.1.1)
+        for srb in rrcd.get("srb_ToAddModList") or []:
+            if srb["srb_Identity"] == 1:
+                prio = self._lc_priority(srb, 1)
         self.rlc.add_bearer_default_srb(1)
         self.pdcp.add_bearer(1)
         if self.mac is not None and hasattr(self.mac, "mux"):
-            self.mac.mux.set_priority(1, priority=srb1["priority"], pbr_bytes_per_tti=-1)
+            self.mac.mux.set_priority(1, priority=prio, pbr_bytes_per_tti=-1)
         self.state = RrcState.COMPLETING_SETUP
         nas_pdu = self.nas.get_attach_request() if self.nas else b""
-        msg = M.pack(
-            M.UL_DCCH,
-            (
-                "rrcConnectionSetupComplete",
-                {"transaction_id": 0, "selected_plmn": 1, "nas_pdu": nas_pdu},
-            ),
-        )
+        msg = M.pack("UL-DCCH", "rrcConnectionSetupComplete", {
+            "selectedPLMN_Identity": 1,
+            "dedicatedInfoNAS": nas_pdu,
+        }, tid=tid)
         self.pdcp.write_sdu(1, msg)
         self.state = RrcState.CONNECTED
         if self.nas:
@@ -163,22 +185,29 @@ class Rrc:
             self.connected_cb()
 
     def _handle_dl_dcch(self, payload: bytes) -> None:
-        kind, body = M.unpack(M.DL_DCCH, payload)
-        if kind == "dlInformationTransfer":
-            self.nas.write_pdu(body["nas_pdu"])
-        elif kind == "securityModeCommand":
-            self._handle_security_mode(body)
-        elif kind == "ueCapabilityEnquiry":
-            self._send_capability_info(body["transaction_id"])
-        elif kind == "rrcConnectionReconfiguration":
-            self._handle_reconfig(body)
-        elif kind == "rrcConnectionRelease":
+        name, tid, body = M.unpack("DL-DCCH", payload)
+        if name == "dlInformationTransfer":
+            kind, nas_pdu = body["dedicatedInfoType"]
+            if kind == "dedicatedInfoNAS":
+                self.nas.write_pdu(nas_pdu)
+        elif name == "securityModeCommand":
+            self._handle_security_mode(body, tid)
+        elif name == "ueCapabilityEnquiry":
+            self._send_capability_info(tid)
+        elif name == "rrcConnectionReconfiguration":
+            self._handle_reconfig(body, tid)
+        elif name == "rrcConnectionRelease":
             self.state = RrcState.IDLE
             self.rlc.reestablish()
 
-    def _handle_security_mode(self, body: dict) -> None:
+    _EEA = {"eea0": 0, "eea1": 1, "eea2": 2}
+    _EIA = {"reserved": 0, "eia1": 1, "eia2": 2}
+
+    def _handle_security_mode(self, body: dict, tid: int) -> None:
         """rrc.cc:499-501: trigger AS key derivation + integrity on."""
-        self.eea, self.eia = body["eea"], body["eia"]
+        alg = body["securityConfigSMC"]["securityAlgorithmConfig"]
+        self.eea = self._EEA.get(alg["cipheringAlgorithm"], 0)
+        self.eia = self._EIA.get(alg["integrityProtAlgorithm"], 2)
         if self.usim is not None:
             nas_count = self.nas.k_enb_nas_count if self.nas else 0
             self.usim.generate_as_keys(nas_count, self.eea, self.eia)
@@ -186,55 +215,68 @@ class Rrc:
                 self.usim.keys["rrc_enc"], self.usim.keys["rrc_int"]
             )
         self.pdcp.enable_integrity(1)
-        msg = M.pack(
-            M.UL_DCCH, ("securityModeComplete", {"transaction_id": body["transaction_id"]})
-        )
+        msg = M.pack("UL-DCCH", "securityModeComplete", {}, tid=tid)
         self.pdcp.write_sdu(1, msg)
 
     def _send_capability_info(self, tid: int) -> None:
-        msg = M.pack(
-            M.UL_DCCH,
-            (
-                "ueCapabilityInformation",
-                {"transaction_id": tid, "ue_category": 5, "rohc_supported": False},
-            ),
-        )
+        """UE-EUTRA-Capability container (Cat 5 signaled, rrc.cc:366)."""
+        cap = M.ue_eutra_capability(ue_category=5, rohc=False)
+        msg = M.pack("UL-DCCH", "ueCapabilityInformation", {
+            "ue_CapabilityRAT_ContainerList": [
+                {"rat_Type": "eutra", "ueCapabilityRAT_Container": cap}],
+        }, tid=tid)
         self.pdcp.write_sdu(1, msg)
 
-    def _handle_reconfig(self, body: dict) -> None:
-        if body.get("drb_configs"):
-            for drb in body["drb_configs"]:
-                lcid = drb["lcid"]
-                from ..rlc import RlcMode
-                from ..pdcp.pdcp import PdcpConfig
+    _PBR_BYTES_PER_TTI = {
+        "kBps0": 0.0, "kBps8": 8.0, "kBps16": 16.0, "kBps32": 32.0,
+        "kBps64": 64.0, "kBps128": 128.0, "kBps256": 256.0, "infinity": -1.0,
+    }
 
-                mode = {"tm": RlcMode.TM, "um": RlcMode.UM, "am": RlcMode.AM}[
-                    drb["rlc_mode"]
-                ]
-                self.rlc.add_bearer(lcid, mode)
-                self.pdcp.add_bearer(
-                    lcid,
-                    PdcpConfig(sn_bits=drb.get("pdcp_sn_bits") or 12, bearer_id=lcid),
-                )
-                if self.mac is not None and hasattr(self.mac, "mux"):
-                    pbr = drb["pbr_kbps"] / 8.0  # kbps -> bytes/TTI(1ms)
-                    self.mac.mux.set_priority(lcid, drb["priority"], pbr)
-                    if hasattr(self.mac, "bsr"):
-                        self.mac.bsr.set_lcg(lcid, lcg=2, priority=drb["priority"])
-        if body.get("nas_pdu"):
-            self.nas.write_pdu(body["nas_pdu"])
-        msg = M.pack(
-            M.UL_DCCH,
-            (
-                "rrcConnectionReconfigurationComplete",
-                {"transaction_id": body["transaction_id"]},
-            ),
-        )
+    def _handle_reconfig(self, body: dict, tid: int) -> None:
+        rrcd = body.get("radioResourceConfigDedicated") or {}
+        for drb in rrcd.get("drb_ToAddModList") or []:
+            lcid = drb.get("logicalChannelIdentity") or (
+                2 + drb["drb_Identity"])
+            from ..rlc import RlcMode
+            from ..pdcp.pdcp import PdcpConfig
+
+            rlc_cfg = drb.get("rlc_Config")
+            mode = RlcMode.AM
+            if rlc_cfg is not None and rlc_cfg[0].startswith("um"):
+                mode = RlcMode.UM
+            self.rlc.add_bearer(lcid, mode)
+            sn_bits = 12
+            pdcp_cfg = drb.get("pdcp_Config")
+            if pdcp_cfg and pdcp_cfg.get("rlc_UM"):
+                sn_bits = 7 if (pdcp_cfg["rlc_UM"]["pdcp_SN_Size"]
+                                == "len7bits") else 12
+            self.pdcp.add_bearer(
+                lcid, PdcpConfig(sn_bits=sn_bits, bearer_id=lcid))
+            if self.mac is not None and hasattr(self.mac, "mux"):
+                prio, pbr = 4, 8.0
+                lc = drb.get("logicalChannelConfig")
+                lcg = 2
+                if lc and lc.get("ul_SpecificParameters"):
+                    ul = lc["ul_SpecificParameters"]
+                    prio = ul["priority"]
+                    pbr = self._PBR_BYTES_PER_TTI.get(
+                        ul["prioritisedBitRate"], 8.0)
+                    if ul.get("logicalChannelGroup") is not None:
+                        lcg = ul["logicalChannelGroup"]
+                self.mac.mux.set_priority(lcid, prio, pbr)
+                if hasattr(self.mac, "bsr"):
+                    self.mac.bsr.set_lcg(lcid, lcg=lcg, priority=prio)
+        for nas_pdu in body.get("dedicatedInfoNASList") or []:
+            self.nas.write_pdu(nas_pdu)
+        msg = M.pack("UL-DCCH", "rrcConnectionReconfigurationComplete", {},
+                     tid=tid)
         self.pdcp.write_sdu(1, msg)
 
     # ----------------------------------------------- NAS uplink transport
     def write_sdu_nas(self, nas_pdu: bytes) -> None:
-        msg = M.pack(M.UL_DCCH, ("ulInformationTransfer", {"nas_pdu": nas_pdu}))
+        msg = M.pack("UL-DCCH", "ulInformationTransfer", {
+            "dedicatedInfoType": ("dedicatedInfoNAS", nas_pdu),
+        })
         self.pdcp.write_sdu(1, msg)
 
     def max_retx_attempted(self) -> None:
