@@ -35,8 +35,14 @@ MT_IDENTITY_RESPONSE = 0x56
 MT_SECURITY_MODE_COMMAND = 0x5D
 MT_SECURITY_MODE_COMPLETE = 0x5E
 MT_SECURITY_MODE_REJECT = 0x5F
+MT_DETACH_REQUEST = 0x45
+MT_DETACH_ACCEPT = 0x46
+MT_SERVICE_REJECT = 0x4E
+MT_EMM_INFORMATION = 0x61
+MT_EMM_STATUS = 0x60
 # ESM message types
 MT_PDN_CONNECTIVITY_REQUEST = 0xD0
+MT_ESM_INFORMATION_REQUEST = 0xD9
 MT_ACT_DEF_BEARER_REQUEST = 0xC1
 MT_ACT_DEF_BEARER_ACCEPT = 0xC2
 
@@ -125,6 +131,54 @@ class AuthRequest:
         rand = b[3:19]
         n = b[19]
         return cls(rand, b[20 : 20 + n], b[2] & 0xF)
+
+
+@dataclass
+class AttachReject:
+    """24.301 §8.2.3 (reference parser: nas.cc:262-272 — logs the cause
+    and drops to DEREGISTERED)."""
+
+    emm_cause: int
+
+    def pack(self) -> bytes:
+        return bytes([(SEC_NONE << 4) | PD_EMM, MT_ATTACH_REJECT,
+                      self.emm_cause])
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "AttachReject":
+        assert b[1] == MT_ATTACH_REJECT
+        return cls(b[2])
+
+
+@dataclass
+class IdentityRequest:
+    """24.301 §8.2.18; id_type 1 = IMSI (reference stubs the parser,
+    nas.cc:323-325 — we answer with an IdentityResponse)."""
+
+    id_type: int = 1
+
+    def pack(self) -> bytes:
+        return bytes([(SEC_NONE << 4) | PD_EMM, MT_IDENTITY_REQUEST,
+                      self.id_type & 0xF])
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "IdentityRequest":
+        assert b[1] == MT_IDENTITY_REQUEST
+        return cls(b[2] & 0xF)
+
+
+@dataclass
+class IdentityResponse:
+    imsi: str
+
+    def pack(self) -> bytes:
+        return (bytes([(SEC_NONE << 4) | PD_EMM, MT_IDENTITY_RESPONSE])
+                + imsi_to_mobile_id(self.imsi))
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "IdentityResponse":
+        assert b[1] == MT_IDENTITY_RESPONSE
+        return cls(mobile_id_to_imsi(b[2:]))
 
 
 @dataclass

@@ -36,6 +36,7 @@ class Nas:
         self.eia = 0
         self.ip_addr: str | None = None
         self.guti: bytes | None = None
+        self.attach_reject_cause: int | None = None
 
     # --------------------------------------------------------------- attach
     def attach_request(self) -> None:
@@ -65,13 +66,31 @@ class Nas:
             self._handle_security_mode(M.SecurityModeCommand.unpack(plain))
         elif mt == M.MT_ATTACH_ACCEPT:
             self._handle_attach_accept(M.AttachAccept.unpack(plain))
+        elif mt == M.MT_ATTACH_REJECT:
+            # nas.cc:262-272: log cause, back to DEREGISTERED
+            self.attach_reject_cause = M.AttachReject.unpack(plain).emm_cause
+            self.state = EmmState.DEREGISTERED
+        elif mt == M.MT_AUTH_REJECT:
+            # nas.cc:315-321
+            self.state = EmmState.DEREGISTERED
         elif mt == M.MT_IDENTITY_REQUEST:
-            self._send(M.AttachRequest(self.usim.get_imsi()).pack())
+            # reference stubs this (nas.cc:323); 24.301 §5.4.4 response
+            self._send(M.IdentityResponse(self.usim.get_imsi()).pack())
+        elif mt == M.MT_EMM_INFORMATION:
+            pass  # network name/time info — nothing to act on (nas.cc:395)
 
     def _handle_auth_request(self, req: M.AuthRequest) -> None:
-        res = self.usim.generate_authentication_response(
-            req.rand, req.autn, self.mcc, self.mnc
-        )
+        from ..usim.usim import AuthError
+
+        try:
+            res = self.usim.generate_authentication_response(
+                req.rand, req.autn, self.mcc, self.mnc
+            )
+        except AuthError:
+            # network authentication failure: do not respond
+            # (nas.cc:328-332 logs and drops the PDU)
+            self.state = EmmState.DEREGISTERED
+            return
         self._send(M.AuthResponse(res).pack())
 
     def _handle_security_mode(self, cmd: M.SecurityModeCommand) -> None:

@@ -139,3 +139,59 @@ def test_user_plane_after_attach():
     m = ue.get_metrics()
     assert m.gw["dl_pkts"] == 3 and m.gw["ul_pkts"] == 5
     assert m.emm_state == "REGISTERED" and m.rrc_state == "CONNECTED"
+
+
+# ---------------------------------------------------------------- NAS errors
+
+def _mini_nas():
+    from srsue_tpu.nas import messages as NM
+    from srsue_tpu.nas.nas import EmmState, Nas
+    from srsue_tpu.usim.usim import Usim, UsimConfig
+
+    sent = []
+
+    class FakeRrc:
+        def write_sdu_nas(self, pdu):
+            sent.append(pdu)
+
+        def connect(self):
+            pass
+
+    nas = Nas(usim=Usim(UsimConfig()), rrc=FakeRrc())
+    return nas, sent, NM, EmmState
+
+
+def test_nas_attach_reject_goes_deregistered():
+    nas, sent, NM, EmmState = _mini_nas()
+    nas.state = EmmState.REGISTERED_INITIATED
+    nas.write_pdu(NM.AttachReject(emm_cause=0x0B).pack())
+    assert nas.state == EmmState.DEREGISTERED
+    assert nas.attach_reject_cause == 0x0B
+    assert not sent
+
+
+def test_nas_auth_reject_goes_deregistered():
+    nas, sent, NM, EmmState = _mini_nas()
+    nas.state = EmmState.REGISTERED_INITIATED
+    nas.write_pdu(bytes([0x07, NM.MT_AUTH_REJECT]))
+    assert nas.state == EmmState.DEREGISTERED
+
+
+def test_nas_identity_request_answered_with_imsi():
+    nas, sent, NM, EmmState = _mini_nas()
+    nas.write_pdu(NM.IdentityRequest(id_type=1).pack())
+    assert len(sent) == 1
+    resp = NM.IdentityResponse.unpack(sent[0])
+    assert resp.imsi == nas.usim.get_imsi()
+
+
+def test_nas_bad_autn_no_response():
+    """Network authentication failure: UE must stay silent
+    (nas.cc:328-332)."""
+    import os
+
+    nas, sent, NM, EmmState = _mini_nas()
+    bad_autn = bytes(16)  # MAC will not verify against random RAND
+    nas.write_pdu(NM.AuthRequest(os.urandom(16), bad_autn).pack())
+    assert not sent
+    assert nas.state == EmmState.DEREGISTERED
