@@ -43,6 +43,7 @@ MT_EMM_STATUS = 0x60
 # ESM message types
 MT_PDN_CONNECTIVITY_REQUEST = 0xD0
 MT_ESM_INFORMATION_REQUEST = 0xD9
+MT_ESM_INFORMATION_RESPONSE = 0xDA
 MT_ACT_DEF_BEARER_REQUEST = 0xC1
 MT_ACT_DEF_BEARER_ACCEPT = 0xC2
 
@@ -276,6 +277,58 @@ class AttachAccept:
 
 
 @dataclass
+class ServiceReject:
+    """24.301 §8.2.24 (reference parser is a TODO stub, nas.cc:387-389;
+    we parse the cause and optional T3442)."""
+
+    emm_cause: int
+    t3442: int | None = None
+
+    def pack(self) -> bytes:
+        out = bytearray([(SEC_NONE << 4) | PD_EMM, MT_SERVICE_REJECT,
+                         self.emm_cause])
+        if self.t3442 is not None:
+            out.append(self.t3442)
+        return bytes(out)
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "ServiceReject":
+        assert b[1] == MT_SERVICE_REJECT
+        return cls(b[2], b[3] if len(b) > 3 else None)
+
+
+@dataclass
+class DetachRequestNw:
+    """24.301 §8.2.11.2 network-initiated detach (absent in the reference;
+    capability-plus). detach_type 1=re-attach required, 2=re-attach not
+    required, 3=IMSI detach."""
+
+    detach_type: int = 2
+
+    def pack(self) -> bytes:
+        return bytes([(SEC_NONE << 4) | PD_EMM, MT_DETACH_REQUEST,
+                      self.detach_type & 0xF])
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "DetachRequestNw":
+        assert b[1] == MT_DETACH_REQUEST
+        return cls(b[2] & 0xF)
+
+
+@dataclass
+class DetachAccept:
+    """24.301 §8.2.10 (UE->network answer to network-initiated detach)."""
+
+    def pack(self) -> bytes:
+        return bytes([(SEC_NONE << 4) | PD_EMM, MT_DETACH_ACCEPT])
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "DetachAccept":
+        assert b[1] == MT_DETACH_ACCEPT
+        return cls()
+
+
+@dataclass
 class AttachComplete:
     esm_pdu: bytes = b""
 
@@ -358,6 +411,61 @@ class ActivateDefaultBearerAccept:
     def unpack(cls, b: bytes) -> "ActivateDefaultBearerAccept":
         assert b[2] == MT_ACT_DEF_BEARER_ACCEPT
         return cls((b[0] >> 4) & 0xF, b[1])
+
+
+@dataclass
+class EsmInformationRequest:
+    """24.301 §8.3.13 (reference parser is a TODO stub, nas.cc:391-393)."""
+
+    eps_bearer_id: int = 0
+    pti: int = 1
+
+    def pack(self) -> bytes:
+        return bytes([(self.eps_bearer_id << 4) | PD_ESM, self.pti,
+                      MT_ESM_INFORMATION_REQUEST])
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "EsmInformationRequest":
+        assert b[2] == MT_ESM_INFORMATION_REQUEST
+        return cls((b[0] >> 4) & 0xF, b[1])
+
+
+@dataclass
+class EsmInformationResponse:
+    """24.301 §8.3.14: UE answers with the APN it wants (TLV IEI 0x28)."""
+
+    pti: int = 1
+    apn: str | None = "internet"
+
+    def pack(self) -> bytes:
+        out = bytearray([(0 << 4) | PD_ESM, self.pti,
+                         MT_ESM_INFORMATION_RESPONSE])
+        if self.apn is not None:
+            # 24.008 §10.5.6.1: APN is dot-separated labels, each
+            # length-prefixed
+            labels = bytearray()
+            for part in self.apn.split("."):
+                labels.append(len(part))
+                labels += part.encode()
+            out += bytes([0x28, len(labels)]) + labels
+        return bytes(out)
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "EsmInformationResponse":
+        assert b[2] == MT_ESM_INFORMATION_RESPONSE
+        apn = None
+        pos = 3
+        if pos < len(b) and b[pos] == 0x28:
+            n = b[pos + 1]
+            labels = b[pos + 2 : pos + 2 + n]
+            parts = []
+            i = 0
+            while i < len(labels):
+                ln = labels[i]
+                parts.append(labels[i + 1 : i + 1 + ln].decode())
+                i += 1 + ln
+            apn = ".".join(parts)
+        return cls(b[1], apn)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,9 @@ class Nas:
         self.eia = 0
         self.ip_addr: str | None = None
         self.guti: bytes | None = None
+        self.apn: str = "internet"
         self.attach_reject_cause: int | None = None
+        self.service_reject_cause: int | None = None
 
     # --------------------------------------------------------------- attach
     def attach_request(self) -> None:
@@ -78,6 +80,22 @@ class Nas:
             self._send(M.IdentityResponse(self.usim.get_imsi()).pack())
         elif mt == M.MT_EMM_INFORMATION:
             pass  # network name/time info — nothing to act on (nas.cc:395)
+        elif mt == M.MT_SERVICE_REJECT:
+            # reference stubs this (nas.cc:387); 24.301 §5.6.1.5: back to
+            # DEREGISTERED on cause #9/#10-class rejects
+            self.service_reject_cause = M.ServiceReject.unpack(plain).emm_cause
+            self.state = EmmState.DEREGISTERED
+        elif mt == M.MT_ESM_INFORMATION_REQUEST:
+            # reference stubs this (nas.cc:391); 24.301 §6.6.1: answer with
+            # the requested APN so the MME can complete bearer setup
+            req = M.EsmInformationRequest.unpack(plain)
+            self._send(M.EsmInformationResponse(req.pti, self.apn).pack(),
+                       integrity=True)
+        elif mt == M.MT_DETACH_REQUEST:
+            # network-initiated detach (capability-plus; absent in reference)
+            self._send(M.DetachAccept().pack(), integrity=True)
+            self.state = EmmState.DEREGISTERED
+            self.ip_addr = None
 
     def _handle_auth_request(self, req: M.AuthRequest) -> None:
         from ..usim.usim import AuthError

@@ -195,3 +195,49 @@ def test_nas_bad_autn_no_response():
     nas.write_pdu(NM.AuthRequest(os.urandom(16), bad_autn).pack())
     assert not sent
     assert nas.state == EmmState.DEREGISTERED
+
+
+def test_nas_service_reject_goes_deregistered():
+    """Reference stubs parse_service_reject (nas.cc:387); we parse the
+    cause and drop to DEREGISTERED."""
+    nas, sent, NM, EmmState = _mini_nas()
+    nas.state = EmmState.REGISTERED
+    nas.write_pdu(NM.ServiceReject(emm_cause=0x09, t3442=0x2F).pack())
+    assert nas.state == EmmState.DEREGISTERED
+    assert nas.service_reject_cause == 0x09
+    assert not sent
+
+
+def test_nas_esm_information_request_answered_with_apn():
+    """Reference stubs parse_esm_information_request (nas.cc:391); we
+    answer with the configured APN (24.301 §6.6.1)."""
+    nas, sent, NM, EmmState = _mini_nas()
+    nas.apn = "internet.mnc001.mcc001"
+    nas.write_pdu(NM.EsmInformationRequest(pti=4).pack())
+    assert len(sent) == 1
+    resp = NM.EsmInformationResponse.unpack(sent[0])
+    assert resp.pti == 4
+    assert resp.apn == "internet.mnc001.mcc001"
+
+
+def test_nas_network_detach_answered_and_deregistered():
+    """Network-initiated detach (capability-plus; absent in reference)."""
+    nas, sent, NM, EmmState = _mini_nas()
+    nas.state = EmmState.REGISTERED
+    nas.ip_addr = "10.0.0.2"
+    nas.write_pdu(NM.DetachRequestNw(detach_type=2).pack())
+    assert len(sent) == 1
+    NM.DetachAccept.unpack(sent[0])
+    assert nas.state == EmmState.DEREGISTERED
+    assert nas.ip_addr is None
+
+
+def test_nas_esm_codec_roundtrips():
+    from srsue_tpu.nas import messages as NM
+
+    r = NM.EsmInformationResponse(pti=7, apn="a.b.internet")
+    assert NM.EsmInformationResponse.unpack(r.pack()).apn == "a.b.internet"
+    r2 = NM.EsmInformationResponse(pti=2, apn=None)
+    assert NM.EsmInformationResponse.unpack(r2.pack()).apn is None
+    sr = NM.ServiceReject(emm_cause=0x10)
+    assert NM.ServiceReject.unpack(sr.pack()).t3442 is None
