@@ -92,7 +92,12 @@ class RaProc:
 
     def step(self, tti: int) -> None:
         s = self.state
-        if s == RaState.RESOURCE_SELECTION:
+        if s == RaState.COMPLETION:
+            # one-shot: housekeeping done in on_complete; the procedure is
+            # re-armable for a later SR-exhaustion RA (proc_ra.cc:439-447
+            # step_completition -> back to idle semantics)
+            self.state = RaState.IDLE
+        elif s == RaState.RESOURCE_SELECTION:
             self.preamble_idx = self.rng.randrange(self.cfg.group_a_size)
             self.state = RaState.PREAMBLE_TX
         elif s == RaState.PREAMBLE_TX:

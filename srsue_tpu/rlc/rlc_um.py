@@ -100,7 +100,8 @@ class RlcUm:
         self.vr_ux = 0
         self._reassembly: bytes = b""
         self._expect_sn: int | None = None
-        self.metrics = {"tx_sdus": 0, "rx_sdus": 0, "lost_pdus": 0}
+        self.metrics = {"tx_sdus": 0, "rx_sdus": 0, "lost_pdus": 0,
+                        "dropped_pdus": 0}
 
     # --- PDCP side ---------------------------------------------------------
     def write_sdu(self, sdu: bytes) -> None:
@@ -172,40 +173,88 @@ class RlcUm:
         self.vt_us = (self.vt_us + 1) % self.cfg.mod
         return hdr + b"".join(segs)
 
-    def write_pdu(self, pdu: bytes) -> None:
-        """RX path: reorder + reassemble (rlc_um.cc:304-490 semantics,
-        simplified in-order delivery with window-based loss detection)."""
-        sn, fi, lis, hlen = _unpack_header(pdu, self.cfg.sn_bits)
-        self.rx_pdus[sn] = (fi, lis, pdu[hlen:])
-        self._advance()
+    def _dist(self, x: int, base: int) -> int:
+        return (x - base) % self.cfg.mod
 
-    def _advance(self) -> None:
-        # deliver consecutively available SNs from vr_ur
-        while self.vr_ur in self.rx_pdus:
-            fi, lis, payload = self.rx_pdus.pop(self.vr_ur)
-            self._reassemble(fi, lis, payload)
+    def write_pdu(self, pdu: bytes) -> None:
+        """RX path: full 36.322 §5.1.2.2.2-3 receive window (reference:
+        rlc_um.cc:304-366 handle_data_pdu). Duplicate and stale PDUs are
+        discarded; an arrival outside the reordering window pushes VR_UH
+        and may force VR_UR forward (so a wrapped SN can never be
+        mistaken for an older one, the 5-bit-SN edge case)."""
+        sn, fi, lis, hlen = _unpack_header(pdu, self.cfg.sn_bits)
+        mod, w = self.cfg.mod, self.cfg.window
+        lower = (self.vr_uh - w) % mod
+        i_x = self._dist(sn, lower)
+        i_ur = self._dist(self.vr_ur, lower)
+        i_uh = self._dist(self.vr_uh, lower)
+        # §5.1.2.2.2 discard: duplicate inside (VR_UR, VR_UH), or SN in
+        # [VR_UH - window, VR_UR) i.e. already delivered/skipped
+        if (i_ur < i_x < i_uh and sn in self.rx_pdus) or i_x < i_ur:
+            self.metrics["dropped_pdus"] += 1
+            return
+        self.rx_pdus[sn] = (fi, lis, pdu[hlen:])
+        # §5.1.2.2.3: SN outside the reordering window pushes VR_UH
+        if i_x >= i_uh:
+            self.vr_uh = (sn + 1) % mod
+            new_lower = (self.vr_uh - w) % mod
+            if self._dist(self.vr_ur, new_lower) >= w:
+                # VR_UR fell out of the window: deliver/skip up to the
+                # new lower edge
+                self._deliver_up_to(new_lower)
+        if self.vr_ur in self.rx_pdus:
+            # advance VR_UR past the received run
+            target = self.vr_ur
+            while target in self.rx_pdus:
+                target = (target + 1) % mod
+            self._deliver_up_to(target)
+        self._update_timer_state()
+
+    def _deliver_up_to(self, target: int) -> None:
+        """Move VR_UR to ``target``, reassembling received PDUs in SN
+        order and dropping reassembly state across gaps."""
+        while self.vr_ur != target:
+            if self.vr_ur in self.rx_pdus:
+                fi, lis, payload = self.rx_pdus.pop(self.vr_ur)
+                self._reassemble(fi, lis, payload)
+            else:
+                # gap: any partially reassembled SDU is unrecoverable
+                self.metrics["lost_pdus"] += 1
+                self._reassembly = b""
+                self._expect_sn = None
             self.vr_ur = (self.vr_ur + 1) % self.cfg.mod
 
-    def step_timers(self) -> None:
-        """t_reordering: skip a gap after expiry (loss)."""
-        if self.rx_pdus and not self.reordering_running:
+    def _update_timer_state(self) -> None:
+        """36.322 §5.1.2.2.3 t_reordering start/stop conditions."""
+        if self.reordering_running:
+            lower = (self.vr_uh - self.cfg.window) % self.cfg.mod
+            i_ux = self._dist(self.vr_ux, lower)
+            i_ur = self._dist(self.vr_ur, lower)
+            if i_ux <= i_ur or (i_ux > self.cfg.window
+                                and self.vr_ux != self.vr_uh):
+                self.reordering_running = False
+        if not self.reordering_running and self.vr_uh != self.vr_ur:
             self.reordering_running = True
             self.t_reordering = 0
-        if self.reordering_running:
-            self.t_reordering += 1
-            if self.t_reordering >= self.cfg.t_reordering:
-                self.reordering_running = False
-                if self.rx_pdus:
-                    # jump over the gap to the next available SN
-                    self.metrics["lost_pdus"] += 1
-                    self._reassembly = b""
-                    self._expect_sn = None
-                    nxt = min(
-                        self.rx_pdus,
-                        key=lambda s: (s - self.vr_ur) % self.cfg.mod,
-                    )
-                    self.vr_ur = nxt
-                    self._advance()
+            self.vr_ux = self.vr_uh
+
+    def step_timers(self) -> None:
+        """§5.1.2.2.4 t_reordering expiry: advance VR_UR to the first
+        not-received SN at/after VR_UX, delivering what arrived."""
+        if not self.reordering_running:
+            return
+        self.t_reordering += 1
+        if self.t_reordering < self.cfg.t_reordering:
+            return
+        self.reordering_running = False
+        target = self.vr_ux
+        while target in self.rx_pdus:
+            target = (target + 1) % self.cfg.mod
+        self._deliver_up_to(target)
+        if self.vr_uh != self.vr_ur:
+            self.reordering_running = True
+            self.t_reordering = 0
+            self.vr_ux = self.vr_uh
 
     def _reassemble(self, fi: int, lis: list[int], payload: bytes) -> None:
         """FI: bit1 = first byte is NOT an SDU start; bit0 = last byte is

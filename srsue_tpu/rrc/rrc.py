@@ -16,6 +16,46 @@ from enum import Enum, auto
 from . import messages as M
 
 
+def _ie_ms(v, default: int) -> int:
+    """'ms45' -> 45 (36.331 timer enum spelling)."""
+    try:
+        return int(str(v)[2:])
+    except (ValueError, TypeError):
+        return default
+
+
+def _um_config_from_ie(body):
+    """36.331 RLC-Config um-* IE -> UmConfig (rrc.cc:add_bearer fan-out
+    analogue)."""
+    from ..rlc.rlc_um import UmConfig
+
+    body = body or {}
+    dl = body.get("dl_UM_RLC") or {}
+    sn_bits = 5 if dl.get("sn_FieldLength") == "size5" else 10
+    return UmConfig(sn_bits=sn_bits,
+                    t_reordering=_ie_ms(dl.get("t_Reordering"), 45))
+
+
+def _am_config_from_ie(body):
+    """36.331 RLC-Config am IE -> AmConfig."""
+    from ..rlc.rlc_am import AmConfig
+
+    body = body or {}
+    ul = body.get("ul_AM_RLC") or {}
+    dl = body.get("dl_AM_RLC") or {}
+    poll_pdu = str(ul.get("pollPDU", "p4"))[1:]
+    poll_byte = str(ul.get("pollByte", "kB3000"))[2:]
+    return AmConfig(
+        t_poll_retx=_ie_ms(ul.get("t_PollRetransmit"), 45),
+        poll_pdu=10**9 if poll_pdu == "Infinity" else int(poll_pdu),
+        poll_byte=(10**9 if poll_byte.lower() == "infinity"
+                   else int(poll_byte) * 1000),
+        max_retx_thresh=int(str(ul.get("maxRetxThreshold", "t8"))[1:]),
+        t_reordering=_ie_ms(dl.get("t_Reordering"), 35),
+        t_status_prohibit=_ie_ms(dl.get("t_StatusProhibit"), 0),
+    )
+
+
 class RrcState(Enum):
     IDLE = auto()
     PLMN_SELECTION = auto()
@@ -242,9 +282,13 @@ class Rrc:
 
             rlc_cfg = drb.get("rlc_Config")
             mode = RlcMode.AM
+            ent_cfg = None
             if rlc_cfg is not None and rlc_cfg[0].startswith("um"):
                 mode = RlcMode.UM
-            self.rlc.add_bearer(lcid, mode)
+                ent_cfg = _um_config_from_ie(rlc_cfg[1])
+            elif rlc_cfg is not None and rlc_cfg[0] == "am":
+                ent_cfg = _am_config_from_ie(rlc_cfg[1])
+            self.rlc.add_bearer(lcid, mode, ent_cfg)
             sn_bits = 12
             pdcp_cfg = drb.get("pdcp_Config")
             if pdcp_cfg and pdcp_cfg.get("rlc_UM"):

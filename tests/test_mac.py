@@ -355,3 +355,31 @@ def test_time_alignment_timer_flushes_harq():
         mac.run_tti(t)
     assert not mac.ul_time_aligned  # timer expired
     assert not mac.ul_harq.has_pending(8)  # HARQ flushed
+
+
+def test_ra_rearms_after_completion():
+    """After a successful RA the procedure must return to IDLE on the
+    next step so a later SR-exhaustion RA can start (proc_ra.cc
+    step_completition semantics)."""
+    phy = FakePhyRa()
+    done = []
+    ra = RaProc(
+        RaConfig(),
+        prach_send=phy.prach_send,
+        start_rar_search=phy.start_rar_search,
+        send_msg3=phy.send_msg3,
+        on_complete=lambda crnti: done.append(crnti),
+    )
+    crid = b"\x01\x02\x03\x04\x05\x06"
+    for rnd in range(2):
+        ra.start(b"MSG3", crid)
+        for tti in range(3):
+            ra.step(tti)
+        g = pdu_mod.RarGrant(False, 10, 2, 0, False, False)
+        rar = pdu_mod.Rar(ra.preamble_idx, ta=1, grant=g, t_crnti=0x700 + rnd)
+        ra.rar_received(pdu_mod.pack_rar_pdu([rar]))
+        assert ra.con_res_id_received(crid)
+        assert not ra.is_running
+        ra.step(99)  # COMPLETION -> IDLE
+        assert ra.state == RaState.IDLE
+    assert done == [0x700, 0x701]

@@ -104,6 +104,92 @@ def test_um_loss_recovery_via_t_reordering():
     assert rx.metrics["lost_pdus"] == 1
 
 
+def test_um_5bit_window_push_without_timer():
+    """36.322 §5.1.2.2.3: an SN arriving outside the reordering window
+    pushes VR_UH and forces VR_UR past a lost PDU WITHOUT waiting for
+    t_reordering (window = 16 for 5-bit SN)."""
+    sink = Sink()
+    cfg = UmConfig(sn_bits=5, t_reordering=1000)
+    tx, rx = RlcUm(cfg), RlcUm(cfg, write_up=sink)
+    msgs = [bytes([i]) * 8 for i in range(20)]
+    pdus = []
+    for m in msgs:
+        tx.write_sdu(m)
+        pdus.append(tx.read_pdu(100))
+    rx.write_pdu(pdus[0])
+    # drop SN 1; deliver 2..19 (SN 17 pushes the window past SN 1)
+    for p in pdus[2:]:
+        rx.write_pdu(p)
+    assert sink.sdus == [msgs[0]] + msgs[2:]
+    assert rx.metrics["lost_pdus"] == 1
+
+
+def test_um_5bit_wrapped_sn_not_confused_with_old():
+    """A next-cycle PDU reusing a lost SN (mod 32) must NOT be delivered
+    in the old SN's position — the receive window keeps SN order."""
+    sink = Sink()
+    cfg = UmConfig(sn_bits=5, t_reordering=1000)
+    tx, rx = RlcUm(cfg), RlcUm(cfg, write_up=sink)
+    msgs = [bytes([i]) * 4 for i in range(40)]
+    pdus = []
+    for m in msgs:
+        tx.write_sdu(m)
+        pdus.append(tx.read_pdu(100))
+    # lose index 1 (SN 1); index 33 is the NEXT cycle's SN 1
+    order = [0] + list(range(2, 40))
+    for i in order:
+        rx.write_pdu(pdus[i])
+    assert sink.sdus == [msgs[0]] + msgs[2:]
+
+
+def test_um_duplicate_and_stale_discarded():
+    sink = Sink()
+    cfg = UmConfig(sn_bits=10, t_reordering=5)
+    tx, rx = RlcUm(cfg), RlcUm(cfg, write_up=sink)
+    msgs = [bytes([i]) * 6 for i in range(5)]
+    pdus = []
+    for m in msgs:
+        tx.write_sdu(m)
+        pdus.append(tx.read_pdu(100))
+    rx.write_pdu(pdus[0])
+    rx.write_pdu(pdus[2])
+    rx.write_pdu(pdus[2])          # duplicate inside (VR_UR, VR_UH)
+    rx.write_pdu(pdus[0])          # stale: below VR_UR
+    rx.write_pdu(pdus[1])
+    for p in pdus[3:]:
+        rx.write_pdu(p)
+    assert sink.sdus == msgs       # each delivered exactly once
+    assert rx.metrics["dropped_pdus"] == 2
+
+
+def test_um_gap_mid_segmented_sdu_drops_only_that_sdu():
+    """Losing the middle PDU of a 3-PDU SDU must drop that SDU and
+    still deliver neighbours after t_reordering expiry."""
+    sink = Sink()
+    cfg = UmConfig(t_reordering=3)
+    tx, rx = RlcUm(cfg), RlcUm(cfg, write_up=sink)
+    big = bytes(range(256)) * 3    # segmented across several PDUs
+    tx.write_sdu(b"before")
+    tx.write_sdu(big)
+    tx.write_sdu(b"after")
+    pdus = []
+    while True:
+        p = tx.read_pdu(100)
+        if not p:
+            break
+        pdus.append(p)
+    assert len(pdus) >= 4
+    mid = len(pdus) // 2
+    for i, p in enumerate(pdus):
+        if i != mid:
+            rx.write_pdu(p)
+    for _ in range(4):
+        rx.step_timers()
+    assert b"before" in sink.sdus
+    assert b"after" in sink.sdus
+    assert big not in sink.sdus
+
+
 # --- AM --------------------------------------------------------------------
 
 
