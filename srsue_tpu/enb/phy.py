@@ -23,7 +23,7 @@ from ..mac import pdu as pdu_mod
 from ..phy import control, dci, enb_tx, pbch, prach, pusch, ra
 from ..phy.cell import Cell, UlGrant
 from ..phy.pdsch import PdschCodec
-from ..rrc.si_sched import sib1_occasion
+from ..rrc.si_sched import paging_occasion, sib1_occasion
 from .stack import EnbStack
 
 RA_RESPONSE_DELAY = 4
@@ -58,6 +58,9 @@ class EnbPhy:
         self._ue_connected = False
         self._need_con_res = False
         self._phich_at: dict[int, bool] = {}  # tti -> ack
+        self._page_pending: tuple[int, bytes] | None = None  # (ue_id, pcch)
+        self._page_t_drx = 128
+        self._page_nb_t = 1.0
         self.events: list[str] = []
         self._mcs_data = 6
         self._ul_mcs = 4
@@ -90,6 +93,13 @@ class EnbPhy:
             self._map_dlsch(grid, sf, self.stack.make_sib1(), 0xFFFF, bcch=True)
         elif sf == 1 and self.sfn % 2 == 0:
             self._map_dlsch(grid, sf, self.stack.make_sib2(), 0xFFFF, bcch=True)
+        elif self._page_pending is not None and paging_occasion(
+                tti, self._page_pending[0], n_b_t=self._page_nb_t,
+                t_drx=self._page_t_drx):
+            _, pcch = self._page_pending
+            self._page_pending = None
+            self._map_dlsch(grid, sf, pcch, 0xFFFE, bcch=True)
+            self.events.append("paging_sent")
         elif tti in self._rar_at:
             idx = self._rar_at.pop(tti)
             msg3_tti = tti + MSG3_DELAY
@@ -117,6 +127,13 @@ class EnbPhy:
                                   start, l)
 
         return enb_tx.to_waveform(self.cell, [grid])[0]
+
+    def page(self, imsi: str, t_drx: int = 128, n_b_t: float = 1.0) -> None:
+        """Queue a Paging message for the UE; transmitted with P-RNTI at
+        the UE's next paging occasion (36.304 §7)."""
+        self._page_pending = (int(imsi) % 1024, self.stack.make_paging(imsi))
+        self._page_t_drx = t_drx
+        self._page_nb_t = n_b_t
 
     def _drain_stack_dl(self, grid, sf) -> bool:
         """Carry one pending SRB PDU (with Msg4 CON_RES when needed)."""
@@ -153,8 +170,8 @@ class EnbPhy:
             self._ndi = not self._ndi  # NDI toggle: every DL-SCH is new
         d = dci.Dci1A(riv=dci.riv_encode(cell.n_prb, 0, g.n_prb), mcs=mcs,
                       harq_pid=0, ndi=self._ndi, rv=0, tpc=0)
-        if rnti == 0xFFFF or rnti <= 10:
-            start, l = 0, 4  # common search space
+        if rnti >= 0xFFFE or rnti <= 10:
+            start, l = 0, 4  # common search space (SI/P/RA-RNTI)
         else:
             n_cce, _ = control.pdcch_geometry(cell, CFI)
             cands = control.search_space_candidates(n_cce, rnti, sf)

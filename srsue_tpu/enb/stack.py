@@ -82,6 +82,27 @@ class EnbStack:
             "systemInfoValueTag": 0,
         })
 
+    def make_paging(self, imsi: str | None = None,
+                    s_tmsi: tuple[int, int] | None = None,
+                    si_modification: bool = False) -> bytes:
+        """PCCH Paging message (36.331 §6.2.2; capability-plus — the
+        reference eNB-side has no counterpart, and srsUE has no PCCH)."""
+        body: dict = {}
+        recs = []
+        if imsi is not None:
+            recs.append({"ue_Identity": ("imsi", [int(c) for c in imsi]),
+                         "cn_Domain": "ps"})
+        if s_tmsi is not None:
+            recs.append({"ue_Identity": ("s_TMSI",
+                                         {"mmec": s_tmsi[0],
+                                          "m_TMSI": s_tmsi[1]}),
+                         "cn_Domain": "ps"})
+        if recs:
+            body["pagingRecordList"] = recs
+        if si_modification:
+            body["systemInfoModification"] = "true"
+        return M.pack("PCCH", "paging", body)
+
     def make_sib2(self) -> bytes:
         return M.pack_si_sib2({
             "radioResourceConfigCommon": {

@@ -23,9 +23,11 @@ class Demux:
         write_pdu_bcch: Callable[[bytes], None] | None = None,
         on_ta: Callable[[int], None] | None = None,
         on_con_res: Callable[[bytes], bool] | None = None,
+        write_pdu_pcch: Callable[[bytes], None] | None = None,
     ):
         self.write_pdu = write_pdu
         self.write_pdu_bcch = write_pdu_bcch or (lambda b: None)
+        self.write_pdu_pcch = write_pdu_pcch or (lambda b: None)
         self.on_ta = on_ta or (lambda ta: None)
         self.on_con_res = on_con_res or (lambda uecrid: True)
         self.metrics = {"rx_pdus": 0, "rx_bytes": 0}
@@ -33,6 +35,11 @@ class Demux:
     def push_pdu_bcch(self, data: bytes) -> None:
         """BCCH bypasses MAC subheader parsing entirely (demux.cc:134-155)."""
         self.write_pdu_bcch(data)
+
+    def push_pdu_pcch(self, data: bytes) -> None:
+        """PCCH rides a transparent MAC PDU like BCCH (capability-plus;
+        the reference has no paging support at all)."""
+        self.write_pdu_pcch(data)
 
     def push_pdu(self, data: bytes) -> None:
         mac_pdu = pdu_mod.unpack(data, uplink=False)

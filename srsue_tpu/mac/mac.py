@@ -57,6 +57,8 @@ class Mac:
             write_pdu_bcch=lambda b: rlc.write_pdu_bcch_dlsch(b),
             on_ta=self._on_ta,
             on_con_res=self._on_con_res,
+            write_pdu_pcch=lambda b: getattr(
+                rlc, "write_pdu_pcch", lambda _: None)(b),
         )
         self.dl_harq = DlHarq(deliver=self._deliver)
         self.ul_harq = UlHarq()
@@ -133,6 +135,12 @@ class Mac:
             payload, ok = self._decode_now(codec, softbuffers)
             if ok:
                 self.ra.rar_received(payload)
+            return ok
+        if rnti_type == "PAGING":
+            payload, ok = self._decode_now(codec, softbuffers)
+            if ok:
+                self.demux.push_pdu_pcch(payload)
+                self.metrics.rx_pkts += 1
             return ok
         if rnti_type == "SI":
             p = self.dl_harq.procs[BCCH_PID]

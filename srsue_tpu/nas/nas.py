@@ -39,6 +39,7 @@ class Nas:
         self.apn: str = "internet"
         self.attach_reject_cause: int | None = None
         self.service_reject_cause: int | None = None
+        self.paging_pending = False
 
     # --------------------------------------------------------------- attach
     def attach_request(self) -> None:
@@ -147,6 +148,12 @@ class Nas:
         else:
             out = plain
         self.rrc.write_sdu_nas(out)
+
+    def paging_received(self, id_kind: str) -> None:
+        """RRC matched a paging record to us (capability-plus; the
+        reference has no paging). In IDLE this would trigger a service
+        request; here we record the event for the application layer."""
+        self.paging_pending = True
 
     @property
     def is_registered(self) -> bool:

@@ -187,3 +187,7 @@ class Pdcp:
     def write_pdu_bcch_dlsch(self, pdu: bytes) -> None:
         if self.rrc is not None:
             self.rrc.write_pdu_bcch_dlsch(pdu)
+
+    def write_pdu_pcch(self, pdu: bytes) -> None:
+        if self.rrc is not None:
+            self.rrc.write_pdu_pcch(pdu)

@@ -22,8 +22,8 @@ from .cell import Cell, UlGrant
 from .pdsch import PdschCodec
 from .pucch import encode_format1
 from ..mac import pdu as pdu_mod
-from ..mac.mac import SI_RNTI
-from ..rrc.si_sched import sib1_occasion
+from ..mac.mac import P_RNTI, SI_RNTI
+from ..rrc.si_sched import SiConfig, paging_occasion, si_window, sib1_occasion
 from ..utils.jaxutil import to_device_complex, to_host
 
 HARQ_DELAY = 4
@@ -52,6 +52,8 @@ class Phy:
         self._ul_sched: dict[int, tuple[UlGrant, int]] = {}  # tti -> (grant, rnti)
         self._phich_wait: dict[int, int] = {}  # phich tti -> our UL tx tti
         self.ta = 0
+        self._si_cfg: SiConfig | None = None
+        self._paging: tuple[int, int, float] | None = None
         self.metrics = {"dl_ok": 0, "dl_ko": 0, "ul_tx": 0, "snr_db": 0.0}
 
     # --------------------------------------------------- phy_interface (MAC)
@@ -91,6 +93,16 @@ class Phy:
     def get_headroom_db(self) -> float:
         return 20.0
 
+    def configure_si(self, cfg: SiConfig):
+        """RRC decoded SIB1: SI-RNTI searches now follow its windows."""
+        self._si_cfg = cfg
+
+    def configure_paging(self, ue_id: int, t_drx: int = 128,
+                         n_b_t: float = 1.0):
+        """RRC decoded SIB2 pcch-Config: arm P-RNTI paging-occasion
+        searches (36.304 §7; capability-plus vs the reference)."""
+        self._paging = (ue_id, t_drx, n_b_t)
+
     def configure_ul_params(self, sib2):
         pass
 
@@ -128,8 +140,22 @@ class Phy:
         )
 
         searches = []
-        if sib1_occasion(tti) or (sf == 1):
+        si_hit = sib1_occasion(tti)
+        if not si_hit:
+            if self._si_cfg is not None:
+                # SI windows from SIB1 scheduling (mac.cc:215-244)
+                si_hit = any(
+                    si_window(self._si_cfg, i, tti)
+                    for i in range(len(self._si_cfg.si_periodicity_rf))
+                )
+            else:
+                si_hit = sf == 1  # pre-SIB1: search broadly
+        if si_hit:
             searches.append((SI_RNTI, "SI", False))
+        if self._paging is not None:
+            ue_id, t_drx, n_b_t = self._paging
+            if paging_occasion(tti, ue_id, n_b_t=n_b_t, t_drx=t_drx):
+                searches.append((P_RNTI, "PAGING", False))
         if self._rar_window is not None:
             ra_rnti, start, window = self._rar_window
             if start <= tti < start + window + 2:
@@ -169,7 +195,7 @@ class Phy:
         if self.mac is None:
             return
         pid = d.harq_pid if hasattr(d, "harq_pid") else 0
-        if rnti_type in ("SI", "RAR"):
+        if rnti_type in ("SI", "RAR", "PAGING"):
             ok = self.mac.tb_decoded(pid, codec, softbuffers, rnti_type)
         else:
             self.mac.new_grant_dl(pid, grant, rnti, rnti_type)

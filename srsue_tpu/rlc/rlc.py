@@ -89,6 +89,10 @@ class Rlc:
         if self.pdcp is not None:
             self.pdcp.write_pdu_bcch_dlsch(pdu)
 
+    def write_pdu_pcch(self, pdu: bytes) -> None:
+        if self.pdcp is not None:
+            self.pdcp.write_pdu_pcch(pdu)
+
     # ----------------------------------------------------- PDCP interface
     def write_sdu(self, lcid: int, sdu: bytes) -> None:
         b = self.bearers.get(lcid)

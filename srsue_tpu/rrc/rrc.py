@@ -77,6 +77,8 @@ class Rrc:
         self.state = RrcState.IDLE
         self.sib1: dict | None = None
         self.sib2: dict | None = None
+        self.paged = False
+        self.si_modified = False
         self.ue_crid = os.urandom(5)
         self.transaction_id = 0
         self.eea = 0
@@ -109,8 +111,12 @@ class Rrc:
         name, _, body = M.unpack("BCCH-DL-SCH", payload)
         if name == "systemInformationBlockType1":
             self.sib1 = body
+            self._configure_si_windows(body)
             if self.state == RrcState.SIB1_SEARCH:
                 self.state = RrcState.SIB2_SEARCH
+                if self.sib2 is not None:
+                    # SIB2 was already cached from a broad pre-SIB1 search
+                    self.send_con_request()
         elif name == "systemInformation":
             for kind, sib in body["sib_TypeAndInfo"]:
                 if kind == "sib2":
@@ -119,10 +125,68 @@ class Rrc:
                     if self.state == RrcState.SIB2_SEARCH:
                         self.send_con_request()
 
+    def _configure_si_windows(self, sib1: dict) -> None:
+        """SI scheduling fan-out (rrc.cc:584-587 + mac.cc:215-244
+        search_si_rnti analogue): SI-RNTI searches run only inside the
+        SI windows derived from SIB1's schedulingInfoList."""
+        if self.phy is None or not hasattr(self.phy, "configure_si"):
+            return
+        from .si_sched import SiConfig
+
+        periods = tuple(
+            int(si["si_Periodicity"][2:])
+            for si in sib1.get("schedulingInfoList", [])
+        )
+        if not periods:
+            return
+        win = int(sib1["si_WindowLength"][2:])
+        self.phy.configure_si(SiConfig(si_window_len_sf=win,
+                                       si_periodicity_rf=periods))
+
+    def write_pdu_pcch(self, payload: bytes) -> None:
+        """Paging message on P-RNTI (capability-plus: the reference has
+        no PCCH handling anywhere). Matches s-TMSI/IMSI paging records
+        and honours systemInfoModification."""
+        name, _, body = M.unpack("PCCH", payload)
+        if name != "paging":
+            return
+        for rec in body.get("pagingRecordList") or []:
+            kind, ident = rec["ue_Identity"]
+            matched = False
+            if kind == "imsi" and self.usim is not None:
+                matched = "".join(map(str, ident)) == self.usim.get_imsi()
+            elif kind == "s_TMSI" and self.nas is not None and self.nas.guti:
+                # GUTI tail: MMEC (1 byte) + M-TMSI (4 bytes)
+                want = (int.from_bytes(self.nas.guti[-5:-4], "big"),
+                        int.from_bytes(self.nas.guti[-4:], "big"))
+                matched = (ident["mmec"], ident["m_TMSI"]) == want
+            if matched:
+                self.paged = True
+                if self.nas is not None and hasattr(self.nas, "paging_received"):
+                    self.nas.paging_received(kind)
+        if body.get("systemInfoModification") is not None:
+            # 36.331 §5.2.2.4: re-acquire system information
+            self.sib1 = None
+            self.sib2 = None
+            if self.state in (RrcState.SIB1_SEARCH, RrcState.SIB2_SEARCH):
+                self.state = RrcState.SIB1_SEARCH
+            self.si_modified = True
+
     def apply_sib2_configs(self, sib2: dict) -> None:
         """Config fan-out (rrc.cc:589-721): RACH/PRACH/PUSCH/PUCCH/power
         parameters into MAC + PHY, from the spec-shaped SIB2 IEs."""
         common = sib2["radioResourceConfigCommon"]
+        pcch = common.get("pcch_Config")
+        if (pcch and self.phy is not None
+                and hasattr(self.phy, "configure_paging")):
+            n_b_t = {"fourT": 4.0, "twoT": 2.0, "oneT": 1.0,
+                     "halfT": 0.5, "quarterT": 0.25, "oneEighthT": 0.125,
+                     "oneSixteenthT": 1 / 16, "oneThirtySecondT": 1 / 32}[
+                pcch["nB"]]
+            t_drx = int(pcch["defaultPagingCycle"][2:])
+            imsi = self.usim.get_imsi() if self.usim is not None else "0"
+            self.phy.configure_paging(int(imsi) % 1024, t_drx=t_drx,
+                                      n_b_t=n_b_t)
         if self.mac is not None and hasattr(self.mac, "ra"):
             rach = common["rach_ConfigCommon"]
             sup = rach["ra_SupervisionInfo"]
