@@ -194,7 +194,11 @@ def make_sharded_decoder(k: int, n_iters: int, mesh: Mesh, window: int = 64,
         )
         # align varying-manual-axes types: carry values exchanged via
         # collectives are 'varying' over the mesh axis
-        init = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), init)
+        _pcast = getattr(jax.lax, "pcast", None)
+        if _pcast is not None:
+            init = jax.tree.map(lambda x: _pcast(x, axis, to="varying"), init)
+        else:  # older jax
+            init = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), init)
         (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
             body, init, None, length=n_iters
         )

@@ -77,17 +77,18 @@ RI_COLS = (1, 4, 7, 10)
 
 
 def uci_layout(m_sc: int, n_cqi_syms: int, n_ack_syms: int):
-    """PUSCH channel-interleaver position sets (36.212 §5.2.2.7/8).
+    """PUSCH channel-interleaver position sets (36.212 §5.2.2.6-8).
 
     The R x 12 symbol matrix (R = M_sc rows, 12 data SC-FDMA symbol
     columns) is written row-major with [CQI || data] and read
-    column-major; ACK symbols occupy bottom-up rows of the DMRS-adjacent
-    columns. Returns (cqi_pos, ack_pos, data_pos) as stream indices in
-    the column-major (per-SC-FDMA-symbol) order our mapper uses.
-
-    Deviation noted: ACK positions are RESERVED (data is rate-matched
-    around them) rather than puncturing already-matched data — identical
-    capacity, simpler soft-combining; flagged for interop tightening.
+    column-major. Per spec, HARQ-ACK **punctures** already-interleaved
+    data: the data stream is laid out over ALL non-CQI positions
+    (including the future ACK positions), then ACK symbols overwrite
+    bottom-up rows of the DMRS-adjacent columns at transmit time; the
+    receiver treats the punctured data bits as erasures (LLR 0).
+    Returns (cqi_pos, ack_pos, data_pos) as stream indices in the
+    column-major (per-SC-FDMA-symbol) order our mapper uses; ack_pos is
+    a subset of data_pos.
     """
     r = m_sc
     c = 12
@@ -96,15 +97,12 @@ def uci_layout(m_sc: int, n_cqi_syms: int, n_ack_syms: int):
         col = ACK_COLS[i % 4]
         row = r - 1 - (i // 4)
         ack_pos.append(col * r + row)
-    ack_set = set(ack_pos)
-    order = []  # row-major fill -> column-major stream index
-    for row in range(r):
-        for col in range(c):
-            s = col * r + row
-            if s not in ack_set:
-                order.append(s)
+    # row-major fill -> column-major stream index, over every position:
+    # ACK punctures data after interleaving rather than reserving slots
+    order = [col * r + row for row in range(r) for col in range(c)]
     cqi_pos = order[:n_cqi_syms]
     data_pos = order[n_cqi_syms:]
+    assert not set(ack_pos) & set(cqi_pos), "ACK/CQI region overlap"
     return (np.asarray(cqi_pos, np.int64), np.asarray(ack_pos, np.int64),
             np.asarray(data_pos, np.int64))
 
@@ -136,7 +134,12 @@ class PuschCodec:
             self.m_sc, n_cqi_syms, n_ack_syms
         )
         self.cqi_rep = cqi_rep
+        # data is rate-matched over all non-CQI positions (ACK punctures
+        # it afterwards, 36.212 §5.2.2.6); bit-level erasure mask for RX
         self.G = len(self.data_pos) * self.qm
+        self._ack_erase = np.repeat(
+            ~np.isin(self.data_pos, self.ack_pos), self.qm
+        ).astype(np.float32)
 
         self.plan = segmentation.plan(grant.tbs)
         p = self.plan
@@ -276,6 +279,10 @@ class PuschCodec:
             llr_all.shape[:-2] + (self.G,)
         )
         llr = llr * jnp.asarray(self.scr_pm1)
+        if self.with_ack:
+            # ACK punctured these data bits: zero = erasure for the
+            # turbo decoder (36.212 §5.2.2.6 receiver dual)
+            llr = llr * jnp.asarray(self._ack_erase)
         self._last_uci_llrs = (
             llr_all[..., jnp.asarray(self.cqi_pos), :] if self.n_cqi_bits else None,
             llr_all[..., jnp.asarray(self.ack_pos), :] if self.with_ack else None,
