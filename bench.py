@@ -1,14 +1,27 @@
 """Benchmark: PDSCH decode throughput at 20 MHz SISO 64QAM max TBS
-(BASELINE config 3; reference anchor: 60 Mbps on i7-4790, README.md:4).
+(BASELINE config 3; reference anchor: 60 Mbps on i7-4790, README.md:4,
+"8-iteration turbo decoding" per BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mbps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mbps", "vs_baseline": N, ...}
 
-Method (mirrors metrics_stdout's TB-bits/s discipline, SURVEY.md §6):
-batch B full subframes of 64QAM max-TBS PDSCH at operating SNR through
-the complete grant-known receive chain (OFDM demod -> CRS chest -> ZF eq
--> demap -> descramble -> dematch -> windowed 8-iter max-log-MAP turbo
-w/ CRC early exit -> TB CRC) as one jitted program; decoded TB bits per
+The HEADLINE value is the honest operating point: the COMPLETE per-TTI
+receive pipeline — OFDM demod -> CRS chest -> full-grid ZF -> PCFICH
+decode -> blind PDCCH search over every search-space candidate (DCI
+unpacked on-device and verified against the transmitted grant) -> PDSCH
+extract/demap/descramble/dematch -> EIGHT FORCED turbo iterations (no
+early exit) -> TB CRC — matching what the reference's 60 Mbps number
+includes (phch_worker.cc:132-243 does PDCCH+PDSCH every TTI at
+max_noi-capped iterations). Secondary operating points reported in the
+same JSON:
+
+  * early_exit: same chain with CRC early exit at 26 dB SNR (the r1
+    number's operating point)
+  * waterfall:  early-exit chain at SNR near the BLER~10% cliff, with
+    the measured BLER (throughput counts only CRC-pass TBs)
+
+Method mirrors metrics_stdout's TB-bits/s discipline (SURVEY.md §6):
+batch B full subframes as one jitted program; decoded TB bits per
 wall-clock second, inputs resident in HBM.
 
 Robustness: the accelerator measurement runs in a TIMEOUT-GUARDED CHILD
@@ -29,44 +42,78 @@ import time
 import numpy as np
 
 BASELINE_MBPS = 60.0
-# ~30 ms of the per-call time is fixed relay dispatch+readback latency;
-# batch until the marginal per-subframe compute (~0.25 ms) dominates.
-# (B=512 reaches 220 Mbps but its compile+input-build time crowds the
-# child timeout; 256 keeps >60% of the asymptote with margin.)
+# ~25 ms of the per-call time is fixed relay dispatch+readback latency;
+# batch until the marginal per-subframe compute dominates.
 B_DEFAULT = 256
+SNR_OPERATING = 26.0
+# near the BLER~10% cliff for 64QAM mcs28 (rate .92) + ZF over AWGN;
+# calibrated on TPU v5e (tools/snr_sweep.py: BLER 12.5% @ 20 dB, 0% @
+# >= 22 dB, mean 3.6 iters w/ early exit) — bench asserts BLER < 60% so
+# drift is caught rather than silently mismeasured
+SNR_WATERFALL = 20.0
 
 
-def build_input(B: int):
-    import jax.numpy as jnp  # noqa: F401
-
-    from srsue_tpu.phy import enb_tx, ra
+def build_clean(B: int):
+    """Build B subframes with CRS + PCFICH + PDCCH(DCI 1A @ C-RNTI) +
+    max-TBS PDSCH — the full control+data subframe the timed chain must
+    process blind."""
+    from srsue_tpu.phy import control, dci, enb_tx, ra
     from srsue_tpu.phy.cell import Cell
     from srsue_tpu.phy.pdsch import PdschCodec
 
     cell = Cell(n_prb=100, cell_id=42)
     grant = ra.dl_grant(cell.n_prb, 28)  # 64QAM, TBS 75376, C=13
     subframe = 6
-    codec = PdschCodec(cell, grant, rnti=0x1234, subframe=subframe, cfi=1,
+    cfi = 1
+    rnti = 0x1234
+    codec = PdschCodec(cell, grant, rnti=rnti, subframe=subframe, cfi=cfi,
                        n_turbo_iters=8)
+    d = dci.Dci1A(riv=dci.riv_encode(cell.n_prb, 0, cell.n_prb), mcs=28,
+                  harq_pid=0, ndi=True, rv=0, tpc=0)
+    dci_bits = dci.pack_1a(cell.n_prb, d)
+    n_cce, _ = control.pdcch_geometry(cell, cfi)
+    cands = control.search_space_candidates(n_cce, rnti, subframe)
+    start, l = [c for c in cands if c[1] >= 4][0]
+
     rng = np.random.default_rng(0)
     payloads = np.stack(
         [rng.integers(0, 2, grant.tbs).astype(np.uint8) for _ in range(B)]
     )
     tds = []
     for pl in payloads:
-        grids = enb_tx.build_pdsch_subframe(cell, codec, pl)
-        tds.append(enb_tx.to_waveform(cell, grids)[0])
+        grid = enb_tx.empty_grid(cell)
+        enb_tx.add_crs(cell, grid, subframe, 0)
+        control.pcfich_map(cell, grid, subframe, cfi)
+        control.pdcch_map(cell, grid, subframe, cfi, dci_bits, rnti,
+                          start, l)
+        codec.map_to_grid(grid, codec.encode_symbols(pl))
+        tds.append(enb_tx.to_waveform(cell, [grid])[0])
     td = np.stack(tds)
     p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
-    noisy, _ = enb_tx.awgn(rng, td, 26.0, signal_power=p_sig)
-    return cell, grant, subframe, codec, payloads, noisy
+    return (cell, grant, subframe, cfi, rnti, dci_bits, payloads, td,
+            p_sig, rng)
 
 
-def make_rx(cell, codec, subframe, expected):
+def add_noise(rng, td, p_sig, snr_db):
+    from srsue_tpu.phy import enb_tx
+
+    noisy, _ = enb_tx.awgn(rng, td, snr_db, signal_power=p_sig)
+    return noisy
+
+
+def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
+            early_exit: bool):
+    """The full honest per-TTI chain as ONE jitted function."""
     import jax.numpy as jnp
 
-    from srsue_tpu.phy import chest, equalize, ofdm
+    from srsue_tpu.phy import chest, control, dci, equalize, ofdm
+    from srsue_tpu.phy.pdsch import PdschCodec
     from srsue_tpu.utils.jaxutil import iq_complex
+
+    codec = PdschCodec(cell, grant, rnti=rnti, subframe=subframe, cfi=cfi,
+                       n_turbo_iters=8, early_exit=early_exit)
+    dci_len = dci.size_0_1a(cell.n_prb)
+    exp_dci = jnp.asarray(dci_bits.astype(np.float32))
 
     def rx(iq_p):
         # IQ crosses host->device as float32 [..., 2] pairs: the axon
@@ -74,26 +121,41 @@ def make_rx(cell, codec, subframe, expected):
         iq = iq_complex(iq_p)
         grid = ofdm.demodulate(cell, iq)
         h, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
+        # control region: full-grid equalize -> PCFICH -> blind search
+        g_eq, nv_grid = equalize.zf(grid, h, nvar)
+        cfi_dev, _ = control.pcfich_decode(cell, g_eq, nv_grid, subframe)
+        hard, ok = control.pdcch_blind_batch(
+            cell, g_eq, nv_grid, subframe, cfi, rnti, dci_len)
+        # DCI verified on-device: some passing candidate carries exactly
+        # the transmitted grant bits
+        match = jnp.all(hard.astype(jnp.float32) == exp_dci, axis=-1) & ok
+        n_dci = jnp.sum(jnp.any(match, axis=-1).astype(jnp.float32))
+        cfi_ok = jnp.sum((cfi_dev == cfi).astype(jnp.float32))
+        # data: PDSCH extract + ZF + decode
         x_eq, nv_eff = equalize.zf(
             codec.extract_re(grid), codec.extract_re(h), nvar
         )
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
         n_ok = jnp.sum(tb_ok.astype(jnp.float32))
         bit_match = jnp.mean(
-            (payload.astype(jnp.float32) == jnp.asarray(expected[: iq.shape[0]]))
-            .astype(jnp.float32)
+            jnp.where(tb_ok[:, None],
+                      (payload.astype(jnp.float32)
+                       == jnp.asarray(expected[: iq.shape[0]])).astype(
+                           jnp.float32),
+                      1.0)
         )
         mean_iters = jnp.mean(iters.astype(jnp.float32))
         stats = jnp.zeros((8, 128), jnp.float32)
-        stats = stats.at[0, 0].set(n_ok).at[0, 1].set(bit_match)
-        stats = stats.at[0, 2].set(mean_iters)
+        stats = (stats.at[0, 0].set(n_ok).at[0, 1].set(bit_match)
+                 .at[0, 2].set(mean_iters).at[0, 3].set(n_dci)
+                 .at[0, 4].set(cfi_ok))
         return stats
 
     return rx
 
 
-def measure(device_kind: str, B: int, n_rep: int = 10) -> dict:
-    """Build, compile, verify and time the chain; returns result dict.
+def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
+    """Build, compile, verify and time the three operating points.
     Every timed rep includes a forced small readback (proof of
     execution)."""
     import jax
@@ -101,44 +163,65 @@ def measure(device_kind: str, B: int, n_rep: int = 10) -> dict:
 
     from srsue_tpu.utils.jaxutil import iq_pairs
 
-    cell, grant, subframe, codec, payloads, noisy = build_input(B)
+    (cell, grant, subframe, cfi, rnti, dci_bits, payloads, td, p_sig,
+     rng) = build_clean(B)
     expected = payloads.astype(np.float32)
-    rx = jax.jit(make_rx(cell, codec, subframe, expected))
 
-    iq = jnp.asarray(iq_pairs(noisy))
+    iq_op = jnp.asarray(iq_pairs(add_noise(rng, td, p_sig, SNR_OPERATING)))
+    iq_wf = jnp.asarray(iq_pairs(add_noise(rng, td, p_sig, SNR_WATERFALL)))
 
-    def run_and_read():
-        out = rx(iq)
-        # tiny dependent op + read: proves the whole program executed
+    def run_and_read(jf, iq):
+        out = jf(iq)
         probe = jnp.zeros((8, 128), jnp.float32) + out
         return np.asarray(probe)
 
-    t0 = time.time()
-    s = run_and_read()
-    t_first = time.time() - t0
-    assert s[0, 0] == B, f"decode failed: {s[0,0]}/{B} TBs ok"
-    assert s[0, 1] == 1.0, f"payload mismatch: {s[0,1]}"
-    print(
-        f"[{device_kind}] compile+first(+read): {t_first:.1f}s, "
-        f"iters {s[0,2]:.2f}",
-        file=sys.stderr, flush=True,
-    )
+    def timed(jf, iq, label, want_all_ok=True):
+        t0 = time.time()
+        s = run_and_read(jf, iq)
+        t_first = time.time() - t0
+        if want_all_ok:
+            assert s[0, 0] == B, f"{label}: decode failed {s[0,0]}/{B}"
+        assert s[0, 1] == 1.0, f"{label}: payload mismatch {s[0,1]}"
+        assert s[0, 3] == B, f"{label}: blind DCI found {s[0,3]}/{B}"
+        assert s[0, 4] == B, f"{label}: CFI decode {s[0,4]}/{B}"
+        t0 = time.time()
+        for _ in range(n_rep):
+            s = run_and_read(jf, iq)
+        dt = (time.time() - t0) / n_rep
+        ok = float(s[0, 0])
+        mbps = ok * grant.tbs / dt / 1e6
+        print(f"[{device_kind}] {label}: {dt*1e3:.2f} ms/batch({B}sf) "
+              f"ok={ok:.0f}/{B} iters={s[0,2]:.2f} -> {mbps:.1f} Mbps "
+              f"(first+compile {t_first:.0f}s)", file=sys.stderr, flush=True)
+        return {"mbps": mbps, "dt_ms": dt * 1e3, "bler": 1.0 - ok / B,
+                "iters": float(s[0, 2])}
 
-    t0 = time.time()
-    for _ in range(n_rep):
-        s = run_and_read()
-    dt = (time.time() - t0) / n_rep
-    mbps = B * grant.tbs / dt / 1e6
-    msamp = B * cell.sf_len / dt / 1e6
-    print(
-        f"[{device_kind}] steady: {dt*1e3:.2f} ms/batch of {B} sf -> "
-        f"{mbps:.1f} Mbps, {msamp:.1f} Msamples/s",
-        file=sys.stderr, flush=True,
-    )
-    return {"mbps": mbps, "msamples": msamp, "dt_ms": dt * 1e3}
+    rx_forced = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
+                                expected, early_exit=False))
+    rx_ee = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
+                            expected, early_exit=True))
+
+    r_forced = timed(rx_forced, iq_op, "8iter-forced")
+    r_ee = timed(rx_ee, iq_op, "early-exit@26dB")
+    r_wf = timed(rx_ee, iq_wf, f"waterfall@{SNR_WATERFALL:.0f}dB",
+                 want_all_ok=False)
+    assert 0.0 <= r_wf["bler"] < 0.6, f"waterfall BLER off: {r_wf['bler']}"
+
+    msamp = B * cell.sf_len / (r_forced["dt_ms"] / 1e3) / 1e6
+    return {
+        "mbps": r_forced["mbps"],
+        "msamples": msamp,
+        "dt_ms": r_forced["dt_ms"],
+        "early_exit_mbps": r_ee["mbps"],
+        "early_exit_iters": r_ee["iters"],
+        "waterfall_mbps": r_wf["mbps"],
+        "waterfall_bler": r_wf["bler"],
+        "waterfall_iters": r_wf["iters"],
+        "waterfall_snr_db": SNR_WATERFALL,
+    }
 
 
-def _run_child(mode: str, B: int, timeout: int = 480):
+def _run_child(mode: str, B: int, timeout: int = 900):
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), mode],
@@ -149,7 +232,7 @@ def _run_child(mode: str, B: int, timeout: int = 480):
         for line in p.stdout.splitlines():
             if line.startswith("CHILD_RESULT "):
                 return json.loads(line[len("CHILD_RESULT "):])
-    except subprocess.TimeoutExpired as e:
+    except subprocess.TimeoutExpired:
         sys.stderr.write(f"bench child {mode} timed out\n")
     return None
 
@@ -160,11 +243,20 @@ def main() -> None:
     if "--child" in sys.argv or "--child-cpu" in sys.argv:
         import jax
 
+        try:
+            # persistent compile cache: repeated bench runs skip the
+            # multi-minute XLA/Mosaic compiles
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/srsue_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception:
+            pass
         if "--child-cpu" in sys.argv:
             # flip BEFORE any device query (sitecustomize force-registers
             # the accelerator; env vars alone cannot override it)
             jax.config.update("jax_platforms", "cpu")
-        n_rep = 3 if "--child-cpu" in sys.argv else 10
+        n_rep = 2 if "--child-cpu" in sys.argv else 8
         r = measure(jax.default_backend(), B, n_rep=n_rep)
         r["platform"] = jax.default_backend()
         print("CHILD_RESULT " + json.dumps(r), flush=True)
@@ -173,7 +265,7 @@ def main() -> None:
     result = _run_child("--child", B)
     platform = result.get("platform") if result else None
     if result is None:
-        result = _run_child("--child-cpu", B, timeout=900)
+        result = _run_child("--child-cpu", max(B // 8, 16), timeout=1200)
         platform = "cpu_fallback"
     if result is None:
         raise SystemExit("bench failed on every platform")
@@ -181,12 +273,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "pdsch_decode_20mhz_64qam_maxtbs",
+                "metric": "pdsch_20mhz_64qam_maxtbs_blindsearch_8iter",
                 "value": round(result["mbps"], 2),
                 "unit": "Mbps",
                 "vs_baseline": round(result["mbps"] / BASELINE_MBPS, 3),
                 "platform": platform,
                 "msamples_per_s": round(result["msamples"], 1),
+                "early_exit_26db_mbps": round(result["early_exit_mbps"], 2),
+                "waterfall_mbps": round(result["waterfall_mbps"], 2),
+                "waterfall_bler": round(result["waterfall_bler"], 4),
+                "waterfall_snr_db": result["waterfall_snr_db"],
+                "waterfall_iters": round(result["waterfall_iters"], 2),
             }
         ),
         flush=True,

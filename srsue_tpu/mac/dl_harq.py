@@ -81,8 +81,9 @@ class DlHarq:
             p.softbuffers = softbuffers
         else:
             p.softbuffers = [a + b for a, b in zip(p.softbuffers, softbuffers)]
-        payload, tb_ok, _, _ = codec.decode_softbuffers(p.softbuffers)
+        payload, tb_ok, _, iters = codec.decode_softbuffers(p.softbuffers)
         ok = bool(to_host(tb_ok).all())
+        self.metrics["last_iters"] = float(to_host(iters).mean())
         if ok:
             bits = to_host(payload).astype(np.uint8)
             from .pdu import bits_to_bytes

@@ -29,6 +29,17 @@ RA_RNTI_BASE = 1
 
 
 @dataclass
+class UlTx:
+    """MAC -> PHY UL transmission descriptor: payload plus the redundancy
+    version that must reach the waveform (ul_harq.cc rv handling; the
+    rv drives PUSCH rate matching on retransmissions)."""
+
+    payload: bytes
+    rv: int = 0
+    is_retx: bool = False
+
+
+@dataclass
 class MacMetrics:
     rx_pkts: int = 0
     rx_errors: int = 0
@@ -67,6 +78,7 @@ class Mac:
             get_buffer_state=lambda lcid: rlc.get_buffer_state(lcid),
         )
         self.bsr = BsrProc(get_buffer_state=lambda l: rlc.get_buffer_state(l))
+        self.mux.padding_bsr_cb = self.bsr.generate_padding_bsr
         self.sr = SrProc()
         self.phr = PhrProc()
         self.ra = RaProc(
@@ -173,22 +185,26 @@ class Mac:
         bits = to_host(payload).astype(np.uint8).reshape(-1)
         return pdu_mod.bits_to_bytes(bits), ok
 
-    def new_grant_ul(self, tti_tx: int, grant_bytes: int, adaptive_rv: int | None = None) -> bytes | None:
-        """UL grant for tti_tx: assemble a new PDU or hand back a retx."""
-        if self.ul_harq.has_pending(tti_tx):
+    def new_grant_ul(self, tti_tx: int, grant_bytes: int,
+                     adaptive_rv: int | None = None,
+                     ndi: bool | None = None) -> UlTx | None:
+        """UL grant for tti_tx: assemble a new PDU, or hand back an
+        adaptive retransmission when the grant's NDI is NOT toggled for
+        this pid (36.321 §5.4.2.1 / ul_harq.cc:216-249)."""
+        if not self.ul_harq.is_new_tx(tti_tx, ndi):
             r = self.ul_harq.retx(tti_tx, adaptive_rv)
             if r is not None:
                 self.metrics.tx_pkts += 1
-                return r[0]
+                return UlTx(r[0], r[1], is_retx=True)
             return None
         if self.mux.msg3_is_pending():
             payload = self.mux.msg3_get(grant_bytes)
             self.mux.msg3_flush()
-            self.ul_harq.new_tx(tti_tx, payload, is_msg3=True)
+            self.ul_harq.new_tx(tti_tx, payload, is_msg3=True, ndi=ndi)
             self.metrics.tx_pkts += 1
             if self.pcap:
                 self.pcap.write_ul_crnti(payload, self.temp_crnti, tti_tx)
-            return payload
+            return UlTx(payload)
         if self.bsr.triggered:
             gen = self.bsr.generate_bsr()
             if gen:
@@ -197,12 +213,24 @@ class Mac:
         if phr is not None:
             self.mux.pending_phr = phr
         payload = self.mux.pdu_get(grant_bytes)
-        self.ul_harq.new_tx(tti_tx, payload)
+        self.ul_harq.new_tx(tti_tx, payload, ndi=ndi)
         self.metrics.tx_pkts += 1
         self.metrics.tx_brate += 8 * grant_bytes
         if self.pcap:
             self.pcap.write_ul_crnti(payload, self.crnti, tti_tx)
-        return payload
+        return UlTx(payload)
+
+    def ul_retx(self, tti_tx: int) -> UlTx | None:
+        """Autonomous NON-ADAPTIVE retransmission at the retx opportunity
+        of the process that was NACKed on PHICH (no new grant; same pid,
+        next rv in {0,2,3,1} — ul_harq.cc:216-249)."""
+        if not self.ul_harq.has_pending(tti_tx):
+            return None
+        r = self.ul_harq.retx(tti_tx, adaptive_rv=None)
+        if r is None:
+            return None
+        self.metrics.tx_pkts += 1
+        return UlTx(r[0], r[1], is_retx=True)
 
     def harq_recv(self, tti_tx: int, ack: bool) -> None:
         self.ul_harq.harq_feedback(tti_tx, ack)

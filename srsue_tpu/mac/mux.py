@@ -42,6 +42,9 @@ class Mux:
         self.pending_bsr_lcid: int | None = None
         self.pending_phr: int | None = None
         self.msg3_buf: bytes | None = None
+        # padding-BSR hook (proc_bsr.cc:310 via mux.cc:137-230): wired by
+        # MAC to BsrProc.generate_padding_bsr
+        self.padding_bsr_cb: Callable[[int], tuple[int, bytes] | None] | None = None
 
     def set_priority(
         self, lcid: int, priority: int, pbr_bytes_per_tti: float = -1, bsd: int = 100
@@ -100,6 +103,13 @@ class Mux:
                     break
                 mac_pdu.add_sdu(ch.lcid, data)
                 space -= sh_cost(len(data))
+        # leftover grant: padding BSR (short/truncated/long by room,
+        # 36.321 §5.4.5 / proc_bsr.cc generate_padding_bsr)
+        if space >= 2 and self.padding_bsr_cb is not None:
+            gen = self.padding_bsr_cb(space)
+            if gen is not None:
+                mac_pdu.add_ce(gen[0], gen[1])
+                space -= 1 + len(gen[1])
         return pdu_mod.pack(mac_pdu, grant_bytes, uplink=True)
 
     # --- Msg3 (mux.h:57-60) ------------------------------------------------

@@ -84,6 +84,39 @@ class BsrProc:
             [pdu_mod.bsr_index(v) for v in lcg]
         )
 
+    def generate_padding_bsr(self, space_bytes: int) -> tuple[int, bytes] | None:
+        """Padding BSR (36.321 §5.4.5, proc_bsr.cc:310
+        generate_padding_bsr): when the UL PDU has room left over,
+
+        * >= 4 bytes (subheader + 3): long BSR,
+        * >= 2 bytes with a single non-empty LCG: short BSR,
+        * >= 2 bytes with several LCGs: TRUNCATED BSR of the
+          highest-priority LCG with data.
+        Padding BSRs do not clear the regular-BSR trigger."""
+        lcg = self._lcg_bytes()
+        n_groups = sum(1 for g in lcg if g > 0)
+        if space_bytes >= 4:
+            return pdu_mod.LCID_LONG_BSR, pdu_mod.make_ce_long_bsr(
+                [pdu_mod.bsr_index(v) for v in lcg]
+            )
+        if space_bytes < 2:
+            return None
+        if n_groups <= 1:
+            g = next((i for i, v in enumerate(lcg) if v > 0), 0)
+            return pdu_mod.LCID_SHORT_BSR, pdu_mod.make_ce_short_bsr(
+                g, pdu_mod.bsr_index(lcg[g])
+            )
+        # several groups, room for one: truncated BSR of the
+        # highest-priority logical channel's group
+        best_lcid = min(
+            (l for l in self.lcg_of if self.get_buffer_state(l) > 0),
+            key=lambda l: self.priority_of.get(l, 99),
+        )
+        g = self.lcg_of[best_lcid]
+        return pdu_mod.LCID_TRUNC_BSR, pdu_mod.make_ce_short_bsr(
+            g, pdu_mod.bsr_index(lcg[g])
+        )
+
 
 class SrProc:
     """Scheduling request on PUCCH with sr-TransMax escalation to RA

@@ -26,6 +26,7 @@ class _UlProc:
     current_irv: int = 0
     is_msg3: bool = False
     pending_ack: bool | None = None
+    ndi: bool | None = None  # last grant's NDI (toggle = new tx, §5.4.2.1)
 
 
 class UlHarq:
@@ -41,15 +42,27 @@ class UlHarq:
             p.n_retx = 0
             p.current_irv = 0
 
-    def new_tx(self, tti_tx: int, payload: bytes, is_msg3: bool = False) -> int:
+    def new_tx(self, tti_tx: int, payload: bytes, is_msg3: bool = False,
+               ndi: bool | None = None) -> int:
         """Start a new transmission; returns rv (always 0)."""
         p = self.procs[pid_of_tti(tti_tx)]
         p.payload = payload
         p.n_retx = 0
         p.current_irv = 0
         p.is_msg3 = is_msg3
+        p.ndi = ndi
         self.metrics["tx_brate"] += 8 * len(payload)
         return RV_SEQ[0]
+
+    def is_new_tx(self, tti_tx: int, ndi: bool | None) -> bool:
+        """NDI-toggle new-transmission detection for a granted pid
+        (ul_harq.cc:216-249): toggled or never-sent NDI = new TB."""
+        p = self.procs[pid_of_tti(tti_tx)]
+        if p.payload is None:
+            return True
+        if ndi is None:
+            return False
+        return p.ndi is None or ndi != p.ndi
 
     def retx(self, tti_tx: int, adaptive_rv: int | None = None) -> tuple[bytes, int] | None:
         """Retransmission for the process of tti_tx. Non-adaptive advances

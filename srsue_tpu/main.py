@@ -119,7 +119,7 @@ def run_selftest_inline(args) -> int:
             g = pdu_mod.RarGrant(False, 10, 2, 0, False, False)
             rar = pdu_mod.Rar(idx, ta=17, grant=g, t_crnti=enb.t_crnti)
             ue.mac.ra.rar_received(pdu_mod.pack_rar_pdu([rar]))
-            msg3 = ue.mac.new_grant_ul(tti + 4, 64)
+            msg3 = ue.mac.new_grant_ul(tti + 4, 64).payload
             for sh in pdu_mod.unpack(msg3, uplink=True).subheaders:
                 if sh.lcid == pdu_mod.LCID_CCCH:
                     enb.srb0.write_pdu(sh.payload)

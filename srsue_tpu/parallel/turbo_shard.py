@@ -203,13 +203,20 @@ def make_sharded_decoder(k: int, n_iters: int, mesh: Mesh, window: int = 64,
             body, init, None, length=n_iters
         )
         ok = crc_ok_of(hard) | done
+        # iters_used/ok are replicated BY CONSTRUCTION (they derive from
+        # the psum'd CRC syndrome), but the varying-manual-axes checker
+        # cannot infer that through the scan carry: an explicit pmax
+        # (numerically the identity on replicated values) proves it,
+        # keeping check_vma enabled (VERDICT r1 weak-6).
+        iters_used = jax.lax.pmax(iters_used, axis)
+        ok = jax.lax.pmax(ok.astype(jnp.int32), axis).astype(bool)
         return hard, iters_used, ok
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None, axis), P()),
         out_specs=(P(None, axis), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
 
     @jax.jit

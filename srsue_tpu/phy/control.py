@@ -316,6 +316,93 @@ def search_space_candidates(n_cce: int, rnti: int, subframe: int, ue_specific: b
     return out
 
 
+def pdcch_blind_batch(
+    cell: Cell,
+    grid_eq: jnp.ndarray,
+    nv_eff,
+    subframe: int,
+    cfi: int,
+    rnti: int,
+    dci_len: int,
+    ue_specific: bool = True,
+):
+    """Batch-first blind DCI search: decode EVERY search-space candidate
+    for EVERY batch element in one traced program (jit-friendly — no host
+    sync). The reference runs this per-TTI on the worker thread
+    (phch_worker.cc:278-326 find_dl_dci_type); here the candidate axis and
+    the subframe/carrier batch axis both ride the device.
+
+    grid_eq: [..., n_sym_sf, n_sc] equalized grid(s).
+    Returns (hard [..., n_cand, dci_len] uint8 payloads,
+             ok   [..., n_cand] bool RNTI-masked CRC16 pass) with the
+    candidate order of ``search_space_candidates``.
+    """
+    n_cce, cce_re = pdcch_geometry(cell, cfi)
+    cands = search_space_candidates(n_cce, rnti, subframe, ue_specific)
+    if not cands:
+        raise ValueError("empty search space")
+    scr_full = (1.0 - 2.0 * _pdcch_scramble(cell, subframe, 72 * n_cce)).astype(np.float32)
+    n_coded = dci_len + 16
+    lead = grid_eq.shape[:-2]
+
+    # group candidates by aggregation level so each group is ONE gather +
+    # ONE demap + ONE dematch over a [..., n_c, 36L] block
+    bufs_by_cand: dict[int, jnp.ndarray] = {}
+    for L in sorted({l for _, l in cands}):
+        idx_c = [i for i, (_, l) in enumerate(cands) if l == L]
+        res = np.stack([
+            cce_re[cands[i][0] : cands[i][0] + L].reshape(-1) for i in idx_c
+        ])  # [n_c, 36L]
+        scr = np.stack([
+            scr_full[72 * cands[i][0] : 72 * (cands[i][0] + L)] for i in idx_c
+        ])  # [n_c, 72L]
+        y, nv = _gather_re(grid_eq, nv_eff, res.reshape(-1))
+        y = y.reshape(lead + res.shape)
+        if isinstance(nv, jnp.ndarray) and nv.ndim >= len(lead) + 1 and nv.shape[-1] == res.size:
+            nv = nv.reshape(lead + res.shape)
+        llr = modulation.demodulate_soft(y, 2, nv)  # [..., n_c, 72L]
+        llr = llr * jnp.asarray(scr)
+        rm = ratematch.conv_rm_indices(n_coded, 72 * L)
+        d = ratematch.dematch(llr, rm, 3 * n_coded)  # [..., n_c, 3*n_coded]
+        d = jnp.swapaxes(d.reshape(lead + (len(idx_c), 3, n_coded)), -1, -2)
+        for j, i in enumerate(idx_c):
+            bufs_by_cand[i] = d[..., j, :, :]
+    buffers = jnp.stack([bufs_by_cand[i] for i in range(len(cands))],
+                        axis=len(lead))  # [..., n_cand, n_coded, 3]
+
+    flat = buffers.reshape((-1, n_coded, 3))
+    hard = convcode.decode(flat).reshape(lead + (len(cands), n_coded))
+
+    # device CRC16 with RNTI mask: one GF(2) matmul over all candidates
+    m = np.zeros((n_coded, 16), np.uint8)
+    m[:dci_len] = crc.crc_matrix(dci_len, "16")
+    m[dci_len:] = np.eye(16, dtype=np.uint8)
+    mask_bits = ((rnti >> np.arange(15, -1, -1)) & 1).astype(np.float32)
+    syn = jnp.mod(
+        jnp.round(hard.astype(jnp.float32) @ jnp.asarray(m.astype(np.float32)))
+        + jnp.asarray(mask_bits),
+        2.0,
+    )
+    ok = jnp.sum(syn, axis=-1) == 0
+    return hard[..., :dci_len].astype(jnp.uint8), ok
+
+
+def blind_hits(cands, hard: np.ndarray, ok: np.ndarray, dci_len: int):
+    """Host-side hit selection for ONE batch element of
+    ``pdcch_blind_batch`` output: list of (start_cce, L, payload_bits),
+    deduped by payload (overlapping aggregation levels legitimately
+    decode the same circular-buffer codeword — keep the smallest L)."""
+    hits = []
+    seen = set()
+    for (start, l), bits, good in zip(cands, hard, ok):
+        if good:
+            key = bits[:dci_len].tobytes()
+            if key not in seen:
+                seen.add(key)
+                hits.append((start, l, bits[:dci_len]))
+    return hits
+
+
 def pdcch_blind_decode(
     cell: Cell,
     grid_eq: jnp.ndarray,
@@ -332,36 +419,13 @@ def pdcch_blind_decode(
     Returns list of (start_cce, L, payload_bits) passing the RNTI-masked
     CRC. All candidates decode in ONE device call.
     """
-    n_cce, cce_re = pdcch_geometry(cell, cfi)
+    n_cce, _ = pdcch_geometry(cell, cfi)
     cands = search_space_candidates(n_cce, rnti, subframe, ue_specific)
     if not cands:
         return []
-    scr_full = (1.0 - 2.0 * _pdcch_scramble(cell, subframe, 72 * n_cce)).astype(np.float32)
-
-    n_coded = dci_len + 16
-    buffers = []
-    for start, l in cands:
-        res = cce_re[start : start + l].reshape(-1)
-        y, nv = _gather_re(grid_eq, nv_eff, res)
-        llr = modulation.demodulate_soft(y, 2, nv)
-        llr = llr * jnp.asarray(scr_full[72 * start : 72 * start + 72 * l])
-        idx = ratematch.conv_rm_indices(n_coded, 72 * l)
-        d = ratematch.dematch(llr, idx, 3 * n_coded)
-        buffers.append(d.reshape(3, n_coded).T)
     from ..utils.jaxutil import to_host
 
-    hard = to_host(convcode.decode(jnp.stack(buffers)))  # [n_cand, n_coded]
-
-    hits = []
-    seen_payloads = set()
-    for (start, l), bits in zip(cands, hard):
-        if crc.check(bits, "16", mask=rnti):
-            key = bits[:dci_len].tobytes()
-            # overlapping aggregation levels legitimately decode the same
-            # codeword (circular-buffer repetition) — dedup by payload,
-            # keeping the smallest L (the actual transmission, or an
-            # equivalent decode of it)
-            if key not in seen_payloads:
-                seen_payloads.add(key)
-                hits.append((start, l, bits[:dci_len]))
-    return hits
+    hard, ok = pdcch_blind_batch(
+        cell, grid_eq, nv_eff, subframe, cfi, rnti, dci_len, ue_specific
+    )
+    return blind_hits(cands, to_host(hard), to_host(ok), dci_len)

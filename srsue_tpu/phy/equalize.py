@@ -19,7 +19,11 @@ def zf(y: jnp.ndarray, h: jnp.ndarray, noise_var) -> tuple[jnp.ndarray, jnp.ndar
     h2 = jnp.maximum(jnp.abs(h) ** 2, 1e-12)
     x = y * jnp.conj(h) / h2
     nv = jnp.asarray(noise_var)
-    nv_eff = nv[..., None] / h2 if nv.ndim else nv / h2
+    # per-batch noise broadcasts over every trailing data dim of h
+    # ([B] nvar vs [B, n_re] or [B, n_sym, n_sc] grids)
+    while nv.ndim and nv.ndim < h2.ndim:
+        nv = nv[..., None]
+    nv_eff = nv / h2
     return x, nv_eff
 
 
@@ -28,8 +32,10 @@ def mmse(y: jnp.ndarray, h: jnp.ndarray, noise_var) -> tuple[jnp.ndarray, jnp.nd
     Equivalent decision metric to ZF in SISO but numerically tamer in deep
     fades (bounded amplification)."""
     nv = jnp.asarray(noise_var)
-    nvb = nv[..., None] if nv.ndim else nv
     h2 = jnp.abs(h) ** 2
+    nvb = nv
+    while nvb.ndim and nvb.ndim < h2.ndim:
+        nvb = nvb[..., None]
     g = h2 / (h2 + nvb)  # bias factor in [0,1)
     x = y * jnp.conj(h) / jnp.maximum(h2 + nvb, 1e-12) / jnp.maximum(g, 1e-6)
     nv_eff = nvb / jnp.maximum(h2, 1e-9)

@@ -31,7 +31,7 @@ from ..utils.jaxutil import cgather
 FILLER_LLR = 1e4  # known-zero filler bits: saturated "bit 0" prior
 
 
-def _turbo_decode(d, k, n_iters, crc_mat):
+def _turbo_decode(d, k, n_iters, crc_mat, early_exit=True):
     """Pick the BCJR backend: the hand-written Pallas kernel on TPU (2x
     the pure-JAX windowed decoder at production batch sizes — it keeps
     alphas in VMEM scratch instead of round-tripping them through HBM),
@@ -49,8 +49,9 @@ def _turbo_decode(d, k, n_iters, crc_mat):
         from . import turbo_pallas
 
         return turbo_pallas.decode(d, k, n_iters=n_iters, crc_mat=crc_mat,
-                                   window=window)
-    return turbo.decode(d, k, n_iters=n_iters, crc_mat=crc_mat)
+                                   window=window, early_exit=early_exit)
+    return turbo.decode(d, k, n_iters=n_iters, crc_mat=crc_mat,
+                        early_exit=early_exit)
 
 
 class PdschCodec:
@@ -64,6 +65,7 @@ class PdschCodec:
         subframe: int,
         cfi: int = 1,
         n_turbo_iters: int = 8,
+        early_exit: bool = True,
     ):
         self.cell = cell
         self.grant = grant
@@ -71,6 +73,7 @@ class PdschCodec:
         self.subframe = subframe
         self.cfi = cfi
         self.n_turbo_iters = n_turbo_iters
+        self.early_exit = early_exit
 
         self.re_idx = regrid.pdsch_re(
             cell, subframe, cfi, grant.prb_start, grant.n_prb
@@ -204,7 +207,8 @@ class PdschCodec:
             count = buf.shape[-2]
             d = buf.reshape((-1, 3, k + 4))
             hard, iters, ok = _turbo_decode(
-                d, k, self.n_turbo_iters, self._blk_crc[k]
+                d, k, self.n_turbo_iters, self._blk_crc[k],
+                early_exit=self.early_exit,
             )
             hard = hard.reshape(lead + (count, k))
             hard_blocks.append(hard)

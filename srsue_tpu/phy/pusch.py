@@ -243,10 +243,13 @@ class PuschCodec:
         return cqi, ack
 
     # ------------------------------------------------------ eNB-side decode
-    def decode_sf(self, iq: jnp.ndarray, noise_var: float = 1e-4,
-                  cyclic_shift: int = 0):
-        """Round-trip receiver (DMRS-LS chest + equalize + IDFT + demap +
-        turbo). iq: [..., sf_len]. Returns (payload_bits, tb_ok)."""
+    def dematch_sf(self, iq: jnp.ndarray, noise_var: float = 1e-4,
+                   cyclic_shift: int = 0) -> list:
+        """IQ -> per-code-block d-domain softbuffers (DMRS-LS chest +
+        equalize + IDFT + demap + descramble + rate-dematch). The
+        softbuffers are rv-independent: element-wise addition across
+        retransmissions (at their respective rv codecs) implements eNB-
+        side HARQ combining, the dual of dl_harq.cc:164-171."""
         from . import ofdm
 
         cell = self.cell
@@ -289,10 +292,7 @@ class PuschCodec:
         )
 
         p = self.plan
-        from . import crc as crcmod
-
-        hard_blocks = []
-        oks = []
+        bufs = []
         for i, k in enumerate(p.block_ks):
             lo, hi = int(self.e_offsets[i]), int(self.e_offsets[i + 1])
             d_len = 3 * (k + 4)
@@ -301,6 +301,18 @@ class PuschCodec:
                 fl = np.zeros(d_len, np.float32)
                 fl[: p.f] = 1e4
                 buf = buf + jnp.asarray(fl)
+            bufs.append(buf)
+        return bufs
+
+    def decode_softbuffers(self, bufs: list):
+        """Per-block d-domain softbuffers -> (payload_bits, tb_ok)."""
+        from . import crc as crcmod
+
+        p = self.plan
+        hard_blocks = []
+        oks = []
+        for i, k in enumerate(p.block_ks):
+            buf = bufs[i]
             kind = "24A" if p.c == 1 else "24B"
             m = np.zeros((k, 24), np.uint8)
             f = p.f if i == 0 else 0
@@ -324,3 +336,11 @@ class PuschCodec:
         for o in oks[1:]:
             ok_all = ok_all & o
         return payload, ok_all
+
+    def decode_sf(self, iq: jnp.ndarray, noise_var: float = 1e-4,
+                  cyclic_shift: int = 0):
+        """Round-trip receiver. iq: [..., sf_len]. Returns
+        (payload_bits, tb_ok)."""
+        return self.decode_softbuffers(
+            self.dematch_sf(iq, noise_var, cyclic_shift)
+        )

@@ -33,10 +33,73 @@ class SyncResult:
 
 
 class Receiver:
+    # sync-quality tracking (phch_recv.cc:359-364 loss handling +
+    # srslte_ue_sync_get_sfo SFO metric)
+    SYNC_LOSS_THRESHOLD = 0.3  # normalized CP correlation
+    SYNC_LOSS_COUNT = 5  # consecutive bad subframes -> back to search
+    TIMING_LAGS = 3  # +-lags evaluated for the timing error tracker
+
     def __init__(self, radio: Radio):
         self.radio = radio
         self.state = "CELL_SEARCH"
-        self.metrics = {"cfo_hz": 0.0, "peak": 0.0, "sfo_hz": 0.0}
+        self.metrics = {"cfo_hz": 0.0, "peak": 0.0, "sfo_hz": 0.0,
+                        "sync_quality": 0.0, "resyncs": 0, "slips": 0}
+        self._t_err = 0.0  # EMA of the per-subframe timing error (samples)
+        self._bad_count = 0
+        self._slip_total = 0
+        self._slip_elapsed_sf = 0
+
+    # ------------------------------------------------- timing/quality track
+    def _timing_update(self, iq_np: np.ndarray, cell: Cell) -> float:
+        """CP-correlation timing tracker on a mid-subframe symbol:
+        returns the normalized sync quality; updates the timing-error EMA
+        and the SFO estimate. Positive error = boundary later than
+        assumed (we are early)."""
+        L = self.TIMING_LAGS
+        cp = cell.cp_lengths[1]
+        # symbol 4 start (normal CP): cp0+nfft + 3*(cp+nfft)
+        start = cell.cp_lengths[0] + cell.nfft + 3 * (cp + cell.nfft)
+        corrs = np.empty(2 * L + 1, np.complex64)
+        for i, lag in enumerate(range(-L, L + 1)):
+            a = iq_np[start + lag : start + lag + cp]
+            b = iq_np[start + lag + cell.nfft : start + lag + cp + cell.nfft]
+            corrs[i] = np.vdot(b, a)
+        p1 = float(np.sum(np.abs(iq_np[start - L : start + cp + L]) ** 2))
+        p2 = float(np.sum(
+            np.abs(iq_np[start + cell.nfft - L
+                         : start + cp + cell.nfft + L]) ** 2))
+        denom = max(np.sqrt(p1 * p2) * cp / (cp + 2 * L), 1e-12)
+        mags = np.abs(corrs)
+        best = int(np.argmax(mags))
+        quality = float(mags[best]) / denom
+        self.metrics["sync_quality"] = quality
+        if quality >= self.SYNC_LOSS_THRESHOLD:
+            err = best - L
+            self._t_err = 0.85 * self._t_err + 0.15 * err
+        return quality
+
+    def _maybe_slip(self, srate: float) -> None:
+        """Sample-slip compensation: consume/rewind one sample when the
+        tracked timing error accumulates (radio_uhd tx_offset /
+        srslte_ue_sync SFO handling analogue)."""
+        self._slip_elapsed_sf += 1
+        slip = 0
+        if self._t_err > 0.6:
+            self.radio.rx_now(1)  # boundary is later: skip one sample
+            slip = 1
+        elif self._t_err < -0.6:
+            if not self.radio.seek(self.radio.pos - 1):
+                return
+            slip = -1
+        if slip:
+            self._t_err -= slip
+            self._slip_total += slip
+            self.metrics["slips"] = self._slip_total
+        if self._slip_elapsed_sf >= 50:
+            # SFO = sample-clock offset ratio x sample rate; one subframe
+            # is 1 ms = srate/1000 samples
+            elapsed_samples = self._slip_elapsed_sf * (srate / 1e3)
+            self.metrics["sfo_hz"] = self._slip_total / elapsed_samples * srate
 
     # ------------------------------------------------------------ search
     def cell_search(self, n_frames: int = 3, search_srate: float = 1.92e6):
@@ -45,6 +108,7 @@ class Receiver:
         srate = self.radio.srate
         decim = int(round(srate / search_srate))
         n = int(n_frames * 10e-3 * srate)
+        pos0 = self.radio.pos  # capture start: offsets below are absolute
         samples, ts = self.radio.rx_now(n)
         low = sync.decimate(to_device_complex(samples), decim)
 
@@ -98,7 +162,7 @@ class Receiver:
         # PSS ends at slot boundary (last symbol of slot 0)
         pss_end_low = best * half_len + t_pss + cell6.nfft
         sf_start_low = pss_end_low + cell6.slot_len  # end of slot 1 = sf end
-        t_full = sf_start_low * decim
+        t_full = pos0 + sf_start_low * decim
         self.metrics["peak"] = float(peak_h[best])
         self.metrics["cfo_hz"] = cfo * 15000.0
         return cell_id, bool(to_host(is_sf5)), t_full, cfo
@@ -147,14 +211,34 @@ class Receiver:
     def subframes(self, cell: Cell, t_offset: int, cfo: float, start_sfn: int,
                   start_sf: int, n: int):
         """Generator of (tti, aligned_subframe_jnp) — the SYNC_DONE loop
-        (phch_recv.cc:309-368). CFO is tracked per subframe from the CP."""
+        (phch_recv.cc:309-368). Per subframe: CFO tracked from the CP,
+        timing tracked by CP correlation with sample-slip compensation
+        (SFO estimate), and sync quality monitored — SYNC_LOSS_COUNT
+        consecutive bad subframes transition the state machine back to
+        CELL_SEARCH and end the generator (phch_recv.cc:359-364)."""
         sf_len = cell.sf_len
         if not self.radio.seek(t_offset):
             if self.radio.pos < t_offset:
                 self.radio.rx_now(t_offset - self.radio.pos)
         tti = (start_sfn * 10 + start_sf) % 10240
+        self.state = "SYNC_DONE"
+        self._bad_count = 0
         for _ in range(n):
             raw, ts = self.radio.rx_now(sf_len)
+            if len(raw) < sf_len:
+                self.state = "CELL_SEARCH"
+                return
+            quality = self._timing_update(np.asarray(raw), cell)
+            if quality < self.SYNC_LOSS_THRESHOLD:
+                self._bad_count += 1
+                if self._bad_count >= self.SYNC_LOSS_COUNT:
+                    # sync lost: back to search; UL must stop until
+                    # re-acquisition (phch_recv.cc:359-364)
+                    self.state = "CELL_SEARCH"
+                    return
+            else:
+                self._bad_count = 0
+            self._maybe_slip(cell.srate)
             iq = sync.cfo_correct(to_device_complex(raw), cfo, cell.nfft)
             # track residual CFO from the first symbol's CP
             cp = cell.cp_lengths[0]
@@ -163,3 +247,37 @@ class Receiver:
             self.metrics["cfo_hz"] = cfo * 15000.0
             yield tti, iq
             tti = (tti + 1) % 10240
+
+    # ---------------------------------------------------- full state machine
+    def stream(self, n_subframes: int, on_resync=None):
+        """Cold start + steady state WITH loss recovery: yields
+        (tti, subframe) across sync losses, re-entering CELL_SEARCH ->
+        MIB -> SYNC_DONE as needed (the full phch_recv run_thread state
+        machine, phch_recv.cc:266-375). Ends when the stream runs out or
+        n_subframes were produced."""
+        produced = 0
+        while produced < n_subframes:
+            found = self.cell_search()
+            if found is None:
+                if not self._stream_has_data():
+                    return
+                continue  # keep scanning
+            cell_id, is_sf5, t_off, cfo = found
+            got = self.decode_mib_stream(cell_id, t_off, cfo, is_sf5)
+            if got is None:
+                continue
+            cell, mib, t_sf0 = got
+            if on_resync is not None:
+                on_resync(cell, mib)
+            self.metrics["resyncs"] += 1
+            for tti, iq in self.subframes(cell, t_sf0, cfo,
+                                          mib.sfn, 0,
+                                          n_subframes - produced):
+                produced += 1
+                yield tti, iq
+            if self.state != "CELL_SEARCH":
+                return  # n reached
+
+    def _stream_has_data(self) -> bool:
+        probe, _ = self.radio.rx_now(1)
+        return len(probe) == 1

@@ -416,6 +416,7 @@ def decode(
     crc_len: int = 24,
     window: int | None = None,
     auto_window: bool = True,
+    early_exit: bool = True,
 ):
     """Batched turbo decode.
 
@@ -522,11 +523,13 @@ def decode(
         jnp.zeros((B, k), jnp.uint8),
         zb, zb, zb, zb,
     )
-    if crc_mat is not None:
+    if crc_mat is not None and early_exit:
         # device-side early exit: stop as soon as EVERY block in the batch
         # passed CRC (the reference's max_noi early-stop semantics,
         # phch_worker.cc:87-89, at batch granularity). Shapes stay static;
-        # only the trip count is data-dependent.
+        # only the trip count is data-dependent. early_exit=False forces
+        # the full n_iters of compute (the honest-benchmark operating
+        # point: BASELINE.md "8-iteration turbo decoding").
         def cond(state):
             i, carry = state
             done = carry[1]

@@ -2,21 +2,26 @@
 speed-of-light path for the dominant DL hot loop (SURVEY.md §7.3: "turbo
 decoder as Pallas kernel ... batch codeblocks x windowed BCJR").
 
-Layout: the (codeblock x window) product rides the LANES (tiles of 128);
-the 8 trellis states ride SUBLANES. One kernel invocation performs, for a
-[lw, n]-shaped window batch:
+Layout (v2): the (codeblock x window) product tiles as full native VPU
+registers — 8 SUBLANES x 128 LANES = 1024 windows per grid step — and
+the 8 trellis states are unrolled into separate (8, 128) register
+arrays. Every add-compare-select therefore runs on a complete VPU tile
+(the v1 kernel put states on sublanes and got (1, 128)-shaped row ops —
+7/8 of the VPU idle; measured 25.7 ms/iteration at B=256 on v5e).
 
-  * the forward (alpha) recursion, storing all lw alpha vectors in VMEM
-    scratch (lw*8*128*4B = 256 KB at lw=64 — fits comfortably),
-  * the backward (beta) recursion fused with the extrinsic computation
-    (the [8,2] add-compare-select trees are fully unrolled: pure VPU
-    row ops, no gathers),
-  * emission of the boundary metrics (alpha_last / beta_first) for the
-    next-iteration-initialization chaining done by the caller.
+One kernel invocation performs, for a [lw, 8, 128] window-batch tile:
 
-The branch metrics exploit the RSC structure: gamma(s,u) takes one of
-only 4 values (+-Lin +- Lpar)/2, selected per (state, input) by the
-static parity table — computed once per trellis step as 4 lane-rows.
+  * the forward (alpha) recursion, all lw alpha sets in VMEM scratch
+    (lw*8states*8*128*4B = 2 MB at lw=64),
+  * the backward (beta) recursion fused with the extrinsic computation,
+  * boundary emission (alpha_last / beta_first) for the caller's
+    next-iteration-initialization chaining.
+
+Max-log normalization exploits that only metric DIFFERENCES matter:
+instead of a per-step max-tree, state 0's metric is subtracted every
+NORM_EVERY steps (f32 headroom covers the drift between normalizations;
+see _NORM notes). Branch metrics exploit the RSC structure: gamma(s,u)
+takes one of only 4 values +-(Lin+Par)/2, +-(Lin-Par)/2.
 
 The caller (decode()) keeps the iteration loop, interleaving, CRC early
 exit and HARQ semantics in regular JAX; this kernel replaces only the
@@ -38,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import turbo
 
 LANES = 128
+SUBLANES = 8  # one native (8,128) f32 VPU tile per op (16 measured worse)
+TILE = SUBLANES * LANES  # windows per grid step
+NORM_EVERY = 8  # steps between state-0 renormalizations: drift is bounded
+#                by NORM_EVERY * max|gamma| ~ 8 * 0.5*(|Lin|+|Par|); with
+#                saturated filler LLRs (1e4) that is ~1e5, where f32 still
+#                resolves ~0.01 absolute — far below the working LLR scale.
 _NEG = -1e9
 
 
@@ -51,118 +62,131 @@ def _static_tables():
     return ns, par, prev_s, prev_u, u_sign, p_sign
 
 
+def _gammas(lin_t, par_t):
+    """The 4 possible branch metrics keyed by (u_sign, p_sign)."""
+    hl = 0.5 * lin_t
+    hp = 0.5 * par_t
+    gpp = hl + hp
+    gpm = hl - hp
+    return {(1, 1): gpp, (1, -1): gpm, (-1, 1): -gpm, (-1, -1): -gpp}
+
+
 def _half_kernel(lin_ref, par_ref, a0_ref, b0_ref,
                  ext_ref, alast_ref, bfirst_ref, alphas_ref):
-    """One window-batch half-iteration.
+    """One window-batch half-iteration over a TILE of windows.
 
-    lin/par: [lw, N] (systematic+apriori, parity LLRs)
-    a0/b0:   [8, N] boundary initializations
-    ext:     [lw, N] extrinsic output
-    alast/bfirst: [8, N] boundary outputs
-    alphas (scratch): [lw, 8, N]
+    lin/par: [lw, 8, 128] (systematic+apriori, parity LLRs)
+    a0/b0:   [8 states, 8, 128] boundary initializations
+    ext:     [lw, 8, 128] extrinsic output
+    alast/bfirst: [8 states, 8, 128] boundary outputs
+    alphas (scratch): [lw, 8 states, 8, 128]
     """
     ns, par, prev_s, prev_u, u_sign, p_sign = _static_tables()
     lw = lin_ref.shape[0]
 
     # ---------------- forward ----------------
-    def fwd_body(t, alpha):
-        # alpha: [8, N] carried in registers/VMEM via fori_loop
-        lin_t = lin_ref[t, :]
-        par_t = par_ref[t, :]
-        alphas_ref[t] = alpha
-        half_lin = 0.5 * lin_t
-        half_par = 0.5 * par_t
-        # candidates for each next state: unrolled ACS
-        rows = []
+    def fwd_step(t_base, j, alpha):
+        t = t_base * NORM_EVERY + j
+        for s in range(8):
+            alphas_ref[t, s] = alpha[s]
+        g = _gammas(lin_ref[t], par_ref[t])
+        new = []
         for sp in range(8):
-            c = None
-            for j in range(2):
-                s = int(prev_s[sp, j])
-                u = int(prev_u[sp, j])
-                g = u_sign[u] * half_lin + p_sign[s, u] * half_par
-                cand = alpha[s, :] + g
-                c = cand if c is None else jnp.maximum(c, cand)
-            rows.append(c)
-        a_next = jnp.stack(rows, axis=0)
-        a_next = a_next - jnp.max(a_next, axis=0, keepdims=True)
-        return a_next
+            s0, u0 = int(prev_s[sp, 0]), int(prev_u[sp, 0])
+            s1, u1 = int(prev_s[sp, 1]), int(prev_u[sp, 1])
+            c0 = alpha[s0] + g[(int(u_sign[u0]), int(p_sign[s0, u0]))]
+            c1 = alpha[s1] + g[(int(u_sign[u1]), int(p_sign[s1, u1]))]
+            new.append(jnp.maximum(c0, c1))
+        return new
 
-    alpha0 = a0_ref[:, :]
-    alpha_final = jax.lax.fori_loop(0, lw, fwd_body, alpha0)
-    alast_ref[:, :] = alpha_final
+    def fwd_body(t_base, alpha):
+        alpha = list(alpha)
+        for j in range(NORM_EVERY):
+            alpha = fwd_step(t_base, j, alpha)
+        z = alpha[0]
+        return tuple(a - z for a in alpha)
+
+    alpha = tuple(a0_ref[s] for s in range(8))
+    alpha = jax.lax.fori_loop(0, lw // NORM_EVERY, fwd_body, alpha)
+    for s in range(8):
+        alast_ref[s] = alpha[s]
 
     # ---------------- backward + extrinsic ----------------
-    def bwd_body(i, beta):
-        t = lw - 1 - i
-        lin_t = lin_ref[t, :]
-        par_t = par_ref[t, :]
-        half_lin = 0.5 * lin_t
-        half_par = 0.5 * par_t
-        alpha_t = alphas_ref[t]
-        # per (s,u): m = alpha[s] + gamma(s,u) + beta[ns[s,u]]
+    def bwd_step(t_base, j, beta):
+        t = lw - 1 - (t_base * NORM_EVERY + j)
+        g = _gammas(lin_ref[t], par_ref[t])
         m0 = None
         m1 = None
-        rows = []
+        new = []
         for s in range(8):
-            best_u = None
+            a_s = alphas_ref[t, s]
+            bu = None
             for u in range(2):
-                g = u_sign[u] * half_lin + p_sign[s, u] * half_par
-                m = alpha_t[s, :] + g + beta[int(ns[s, u]), :]
+                gg = g[(int(u_sign[u]), int(p_sign[s, u]))]
+                bcand = gg + beta[int(ns[s, u])]
+                m = bcand + a_s
                 if u == 0:
                     m0 = m if m0 is None else jnp.maximum(m0, m)
                 else:
                     m1 = m if m1 is None else jnp.maximum(m1, m)
-                bcand = g + beta[int(ns[s, u]), :]
-                best_u = bcand if best_u is None else jnp.maximum(best_u, bcand)
-            rows.append(best_u)
-        post = m0 - m1
-        ext_ref[t, :] = post - lin_ref[t, :]
-        beta_prev = jnp.stack(rows, axis=0)
-        beta_prev = beta_prev - jnp.max(beta_prev, axis=0, keepdims=True)
-        return beta_prev
+                bu = bcand if bu is None else jnp.maximum(bu, bcand)
+            new.append(bu)
+        ext_ref[t] = (m0 - m1) - lin_ref[t]
+        return new
 
-    beta_final = jax.lax.fori_loop(0, lw, bwd_body, b0_ref[:, :])
-    bfirst_ref[:, :] = beta_final
+    def bwd_body(t_base, beta):
+        beta = list(beta)
+        for j in range(NORM_EVERY):
+            beta = bwd_step(t_base, j, beta)
+        z = beta[0]
+        return tuple(b - z for b in beta)
+
+    beta = tuple(b0_ref[s] for s in range(8))
+    beta = jax.lax.fori_loop(0, lw // NORM_EVERY, bwd_body, beta)
+    for s in range(8):
+        bfirst_ref[s] = beta[s]
 
 
 def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False):
     """[n, lw] window-major inputs -> (ext [n, lw], alpha_last [n, 8],
-    beta_first [n, 8]) where n = number of (block, window) pairs.
+    beta_first [n, 8]) where n = number of (block, window) pairs, padded
+    by the caller to a multiple of TILE (=1024).
 
-    Internally transposed to lanes-last [lw, n] / [8, n]; n is padded to
-    a multiple of 128 by the caller.
+    Window w rides (tile w//1024, sublane (w%1024)//128, lane w%128).
     """
     n = lin.shape[0]
-    assert n % LANES == 0, f"pad window count to lanes: {n}"
-    lin_t = lin.T  # [lw, n]
-    par_t = par.T
-    a0_t = a0.T  # [8, n]
-    b0_t = b0.T
+    assert n % TILE == 0, f"pad window count to {TILE}: {n}"
+    assert lw % NORM_EVERY == 0, f"window {lw} % {NORM_EVERY} != 0"
+    T = n // TILE
 
-    grid = (n // LANES,)
+    def to_tiles(x, d):
+        # [n, d] -> [T*d, 8, 128] with d-major rows inside each tile
+        return (x.reshape(T, SUBLANES, LANES, d)
+                .transpose(0, 3, 1, 2).reshape(T * d, SUBLANES, LANES))
+
+    def from_tiles(y, d):
+        return (y.reshape(T, d, SUBLANES, LANES)
+                .transpose(0, 2, 3, 1).reshape(n, d))
+
+    grid = (T,)
+    spec_lw = pl.BlockSpec((lw, SUBLANES, LANES), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_8 = pl.BlockSpec((8, SUBLANES, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     ext, alast, bfirst = pl.pallas_call(
         _half_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((lw, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lw, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((lw, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec_lw, spec_lw, spec_8, spec_8],
+        out_specs=[spec_lw, spec_8, spec_8],
         out_shape=[
-            jax.ShapeDtypeStruct((lw, n), jnp.float32),
-            jax.ShapeDtypeStruct((8, n), jnp.float32),
-            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((T * lw, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T * 8, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T * 8, SUBLANES, LANES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((lw, 8, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32)],
         interpret=interpret,
-    )(lin_t, par_t, a0_t, b0_t)
-    return ext.T, alast.T, bfirst.T
+    )(to_tiles(lin, lw), to_tiles(par, lw), to_tiles(a0, 8), to_tiles(b0, 8))
+    return from_tiles(ext, lw), from_tiles(alast, 8), from_tiles(bfirst, 8)
 
 
 def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
@@ -173,7 +197,7 @@ def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
     B, K = sys_llr.shape
     W = K // lw
     n = B * W
-    pad = (-n) % LANES
+    pad = (-n) % TILE
 
     Lin = sys_llr + apriori
     lin_w = Lin.reshape(n, lw)
@@ -212,7 +236,7 @@ def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
 
 
 def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
-           interpret: bool = False):
+           interpret: bool = False, early_exit: bool = True):
     """Full turbo decode with the Pallas BCJR core (same contract as
     turbo.decode)."""
     assert k % window == 0, f"window {window} must divide K={k}"
@@ -275,7 +299,7 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
         jnp.zeros((B, k), jnp.uint8),
         zb, zb, zb, zb,
     )
-    if crc_mat is not None:
+    if crc_mat is not None and early_exit:
         # whole-batch device-side early exit (see turbo.decode)
         def cond(state):
             i, carry = state

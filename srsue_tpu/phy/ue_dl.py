@@ -37,8 +37,12 @@ class DlResult:
     tb_ok: np.ndarray | None
     turbo_iters: np.ndarray | None
     cfi: int
-    grants: list
+    grants: list  # DL grants found in batch element 0 (all formats)
     metrics: dict
+    # per-batch-element blind-search hits: [(format, dci_obj), ...]
+    hits_per_elem: list = None
+    # every grant of element 0 decoded: [(grant, payload, tb_ok, iters)]
+    decoded: list = None
 
 
 class UeDl:
@@ -104,6 +108,49 @@ class UeDl:
         payload, tb_ok, iters = run(jnp.asarray(iq))
         return to_host(payload), to_host(tb_ok), to_host(iters)
 
+    # --- stage 3: batched blind search (all elements, all formats) --------
+    @functools.lru_cache(maxsize=64)
+    def _blind_search(self, subframe: int, cfi: int, rnti: int,
+                      ue_specific: bool, formats: tuple):
+        """One jitted program decoding every (candidate x format x batch
+        element) hypothesis — the batch-first replacement of the
+        reference's per-TTI find_dl_dci_type (phch_worker.cc:278-326)."""
+        cell = self.cell
+        sizes = {f: self._dci_len(f) for f in formats}
+
+        @jax.jit
+        def run(g_eq, nv_eff):
+            out = {}
+            for f, n in sizes.items():
+                out[f] = control.pdcch_blind_batch(
+                    cell, g_eq, nv_eff, subframe, cfi, rnti, n,
+                    ue_specific=ue_specific,
+                )
+            return out
+
+        return run
+
+    def _dci_len(self, fmt: str) -> int:
+        n_rb = self.cell.n_prb
+        return {"0_1a": dci.size_0_1a(n_rb), "1": dci.size_1(n_rb),
+                "1c": dci.size_1c(n_rb)}[fmt]
+
+    def _unpack(self, fmt: str, bits: np.ndarray):
+        if fmt == "0_1a":
+            return dci.unpack_0_1a(self.cell.n_prb, bits)
+        if fmt == "1":
+            return dci.unpack_1(self.cell.n_prb, bits)
+        return dci.unpack_1c(self.cell.n_prb, bits)
+
+    def _to_dl_grant(self, fmt: str, d):
+        if isinstance(d, dci.Dci1A):
+            return dci.dci1a_to_grant(self.cell, d)
+        if isinstance(d, dci.Dci1):
+            return dci.dci1_to_grant(self.cell, d)
+        if isinstance(d, dci.Dci1C):
+            return dci.dci1c_to_grant(self.cell, d)
+        return None
+
     # --- full control+data subframe processing ----------------------------
     def process(
         self,
@@ -112,9 +159,16 @@ class UeDl:
         rnti: int,
         dci_len: int | None = None,
         ue_specific: bool = True,
+        formats: tuple = ("0_1a",),
     ) -> DlResult:
-        """Process one (batch of) subframe(s): PCFICH -> PDCCH blind search
-        -> PDSCH decode of the first matching DL grant."""
+        """Process one (batch of) subframe(s): PCFICH -> batched PDCCH
+        blind search over ALL batch elements and DCI formats -> PDSCH
+        decode of every DL grant found in element 0.
+
+        formats: DCI sizes to blind-search, per the reference's per-TM
+        breadth (phch_worker.cc:278-326): "0_1a" always; add "1" for
+        TM1/TM2 C-RNTI search, "1c" for SI/P/RA-RNTI.
+        """
         cell = self.cell
         iq_j = jnp.asarray(iq)
         fe = self._front_end(subframe)
@@ -123,24 +177,41 @@ class UeDl:
         cfi_dev, _ = control.pcfich_decode(cell, g_eq, nv_eff, subframe)
         cfi = int(to_host(cfi_dev).reshape(-1)[0])
 
-        if dci_len is None:
-            dci_len = dci.size_0_1a(cell.n_prb)
-        g0 = g_eq[0] if g_eq.ndim == 3 else g_eq
-        n0 = nv_eff[0] if nv_eff.ndim == 3 else nv_eff
-        hits = control.pdcch_blind_decode(
-            cell, g0, n0, subframe, cfi, rnti, dci_len, ue_specific
-        )
+        search = self._blind_search(subframe, cfi, rnti, ue_specific,
+                                    tuple(formats))
+        raw = search(g_eq, nv_eff)
+
+        batched = g_eq.ndim == 3
+        B = g_eq.shape[0] if batched else 1
+        n_cce, _ = control.pdcch_geometry(cell, cfi)
+        cands = control.search_space_candidates(n_cce, rnti, subframe,
+                                                ue_specific)
+        hits_per_elem: list[list] = [[] for _ in range(B)]
+        for f in formats:
+            hard, ok = (to_host(x) for x in raw[f])
+            if not batched:
+                hard, ok = hard[None], ok[None]
+            n = self._dci_len(f)
+            for b in range(B):
+                for start, l, bits in control.blind_hits(
+                        cands, hard[b], ok[b], n):
+                    hits_per_elem[b].append((f, self._unpack(f, bits)))
+
         grants = []
-        for start, l, payload_bits in hits:
-            d = dci.unpack_0_1a(cell.n_prb, payload_bits)
-            if isinstance(d, dci.Dci1A):
-                grants.append(dci.dci1a_to_grant(cell, d))
+        for f, d in hits_per_elem[0]:
+            g = self._to_dl_grant(f, d)
+            if g is not None:
+                grants.append(g)
 
         metrics = {k: to_host(v) for k, v in m.items()}
         if not grants:
-            return DlResult(None, None, None, cfi, [], metrics)
+            return DlResult(None, None, None, cfi, [], metrics,
+                            hits_per_elem=hits_per_elem, decoded=[])
 
-        payload, tb_ok, iters = self.decode_pdsch(
-            iq, grants[0], rnti, subframe, cfi
-        )
-        return DlResult(payload, tb_ok, iters, cfi, grants, metrics)
+        decoded = []
+        for g in grants:
+            decoded.append((g,) + self.decode_pdsch(iq, g, rnti, subframe,
+                                                    cfi))
+        _, payload, tb_ok, iters = decoded[0]
+        return DlResult(payload, tb_ok, iters, cfi, grants, metrics,
+                        hits_per_elem=hits_per_elem, decoded=decoded)

@@ -275,6 +275,8 @@ class Rrc:
         self.pdcp.add_bearer(1)
         if self.mac is not None and hasattr(self.mac, "mux"):
             self.mac.mux.set_priority(1, priority=prio, pbr_bytes_per_tti=-1)
+        if rrcd.get("physicalConfigDedicated"):
+            self._apply_physical_dedicated(rrcd["physicalConfigDedicated"])
         self.state = RrcState.COMPLETING_SETUP
         nas_pdu = self.nas.get_attach_request() if self.nas else b""
         msg = M.pack("UL-DCCH", "rrcConnectionSetupComplete", {
@@ -336,8 +338,39 @@ class Rrc:
         "kBps64": 64.0, "kBps128": 128.0, "kBps256": 256.0, "infinity": -1.0,
     }
 
+    _SRS_BW_PRB = {"bw0": 4, "bw1": 8, "bw2": 16, "bw3": 24}
+
+    def _apply_physical_dedicated(self, phys: dict) -> None:
+        """Dedicated physical-config fan-out (rrc.cc:723-832 dedicated
+        branch of set_ul_params): periodic CQI, SRS and SR schedules into
+        the PHY's UL control (phch_worker.cc:479-658 consumers)."""
+        if self.phy is None:
+            return
+        cqi = phys.get("cqi_ReportConfig") or {}
+        per = cqi.get("cqi_ReportPeriodic")
+        if (isinstance(per, tuple) and per[0] == "setup"
+                and hasattr(self.phy, "configure_cqi")):
+            self.phy.configure_cqi(per[1]["cqi_pmi_ConfigIndex"],
+                                   per[1]["cqi_PUCCH_ResourceIndex"])
+        srs = phys.get("soundingRS_UL_ConfigDedicated")
+        if (isinstance(srs, tuple) and srs[0] == "setup"
+                and hasattr(self.phy, "configure_srs")):
+            self.phy.configure_srs(
+                srs[1]["srs_ConfigIndex"],
+                self._SRS_BW_PRB[srs[1]["srs_Bandwidth"]],
+            )
+        sr = phys.get("schedulingRequestConfig")
+        if isinstance(sr, tuple) and sr[0] == "setup":
+            if hasattr(self.phy, "configure_sr"):
+                self.phy.configure_sr(sr[1]["sr_ConfigIndex"],
+                                      sr[1]["sr_PUCCH_ResourceIndex"])
+            if self.mac is not None and hasattr(self.mac, "sr"):
+                self.mac.sr.sr_trans_max = int(sr[1]["dsr_TransMax"][1:])
+
     def _handle_reconfig(self, body: dict, tid: int) -> None:
         rrcd = body.get("radioResourceConfigDedicated") or {}
+        if rrcd.get("physicalConfigDedicated"):
+            self._apply_physical_dedicated(rrcd["physicalConfigDedicated"])
         for drb in rrcd.get("drb_ToAddModList") or []:
             lcid = drb.get("logicalChannelIdentity") or (
                 2 + drb["drb_Identity"])

@@ -18,6 +18,9 @@ class PhyMetricsSnapshot:
     turbo_iters: float = 0.0
     ul_mcs: float = 0.0
     ul_power_dbm: float = 0.0
+    # IP-layer maximum achievable bitrate estimate: 0.8 x MAC MABR from
+    # the last (mcs, prb) (phy.cc:118-121)
+    mabr_mbps: float = 0.0
 
 
 class MetricsPrinter:

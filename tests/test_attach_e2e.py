@@ -65,7 +65,7 @@ def _run_attach(ue: Ue, enb: EnbStack, max_ttis: int = 200):
             rar = pdu_mod.Rar(idx, ta=31, grant=grant, t_crnti=enb.t_crnti)
             ue.mac.ra.rar_received(pdu_mod.pack_rar_pdu([rar]))
             # UE answers with Msg3 (CCCH SDU inside a MAC PDU)
-            msg3_mac = ue.mac.new_grant_ul(tti + 4, grant_bytes=64)
+            msg3_mac = ue.mac.new_grant_ul(tti + 4, grant_bytes=64).payload
             parsed = pdu_mod.unpack(msg3_mac, uplink=True)
             ccch_sdu = b""
             for sh in parsed.subheaders:

@@ -383,3 +383,45 @@ def test_ra_rearms_after_completion():
         ra.step(99)  # COMPLETION -> IDLE
         assert ra.state == RaState.IDLE
     assert done == [0x700, 0x701]
+
+
+def test_padding_bsr_truncated_short_long():
+    """Padding BSR selection by leftover room (36.321 §5.4.5,
+    proc_bsr.cc:310): long when >= 4 bytes fit, truncated of the
+    highest-priority LCG when several groups but only short room,
+    short when a single group."""
+    rlc = FakeRlc()
+    bsr = BsrProc(rlc.get_buffer_state)
+    bsr.set_lcg(1, lcg=0, priority=1)
+    bsr.set_lcg(3, lcg=2, priority=3)
+    rlc.set(1, b"x" * 50)
+    rlc.set(3, b"y" * 500)
+    # room for long
+    lcid, ce = bsr.generate_padding_bsr(4)
+    assert lcid == pdu_mod.LCID_LONG_BSR
+    # two groups, room only for short -> truncated, highest-priority LCG 0
+    lcid, ce = bsr.generate_padding_bsr(2)
+    assert lcid == pdu_mod.LCID_TRUNC_BSR
+    assert (ce[0] >> 6) & 3 == 0
+    # one group -> short
+    rlc.set(1, b"")
+    lcid, ce = bsr.generate_padding_bsr(2)
+    assert lcid == pdu_mod.LCID_SHORT_BSR
+    assert (ce[0] >> 6) & 3 == 2
+    # no room
+    assert bsr.generate_padding_bsr(1) is None
+
+
+def test_mux_inserts_padding_bsr():
+    """A grant with leftover room after SDUs carries a padding BSR CE."""
+    rlc = FakeRlc()
+    rlc.set(3, b"\x03" * 10)
+    mux = Mux(rlc.read_pdu, rlc.get_buffer_state)
+    mux.set_priority(3, priority=1)
+    bsr = BsrProc(rlc.get_buffer_state)
+    bsr.set_lcg(3, lcg=1, priority=1)
+    mux.padding_bsr_cb = bsr.generate_padding_bsr
+    raw = mux.pdu_get(40)  # 10 bytes of data, plenty of padding
+    got = pdu_mod.unpack(raw, uplink=True)
+    lcids = [s.lcid for s in got.subheaders]
+    assert pdu_mod.LCID_LONG_BSR in lcids or pdu_mod.LCID_SHORT_BSR in lcids

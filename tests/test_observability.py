@@ -70,3 +70,68 @@ def test_cli_selftest():
     assert r.returncode == 0, r.stderr + r.stdout
     assert "SELFTEST PASS" in r.stdout
     assert "ul_pkts=True" in r.stdout
+
+
+def test_phy_metrics_interval_semantics():
+    """PHY metrics are incrementally averaged between reads and reset on
+    read (phch_common.cc:251-307); MAC metrics zero on read
+    (mac.cc:395-400); MABR = 0.8 x MAC MABR(mcs, prb) (phy.cc:118-121)."""
+    from srsue_tpu.phy import ra
+    from srsue_tpu.phy.cell import Cell
+    from srsue_tpu.phy.phy import Phy
+
+    phy = Phy(Cell(n_prb=15, cell_id=1))
+    phy._m_add("snr_db", 10.0)
+    phy._m_add("snr_db", 30.0)
+    phy._m_add("rsrp_dbm", -80.0)
+    phy._last_dl_mcs, phy._last_dl_prb = 10, 15
+    snap = phy.get_metrics()
+    assert snap.dl_snr_db == 20.0  # interval average
+    assert snap.rsrp_dbm == -80.0
+    mac_mabr = ra.tbs(ra.mcs_to_mod_itbs(10)[1], 15) * 1000 / 1e6
+    assert abs(snap.mabr_mbps - 0.8 * mac_mabr) < 1e-9
+    # second read: interval reset -> defaults
+    snap2 = phy.get_metrics()
+    assert snap2.dl_snr_db == 0.0 and snap2.rsrp_dbm == 0.0
+
+
+def test_live_attach_prints_metrics_table():
+    """The 1 Hz table prints from a live OTA attach run with real
+    interval metrics (metrics_stdout.cc:85-139 parity)."""
+    import io
+
+    import numpy as np
+
+    from srsue_tpu.enb.phy import EnbPhy
+    from srsue_tpu.enb.stack import EnbStack
+    from srsue_tpu.phy.cell import Cell
+    from srsue_tpu.phy.phy import Phy
+    from srsue_tpu.ue import Ue
+
+    cell = Cell(n_prb=15, cell_id=123)
+    phy = Phy(cell)
+    ue = Ue(phy=phy)
+    phy.mac = ue.mac
+    phy.rrc = ue.rrc
+    enb = EnbPhy(cell, EnbStack(ue.usim.cfg))
+    rng = np.random.default_rng(0)
+    buf = io.StringIO()
+    mp = MetricsPrinter(out=buf, period_ttis=50)
+
+    ue.attach()
+    ue.rrc.write_pdu_bcch_bch(b"\x00\x00\x00")
+    for tti in range(170):
+        dl = enb.build_dl_subframe(tti)
+        noise = 0.01 * (rng.standard_normal(dl.shape)
+                        + 1j * rng.standard_normal(dl.shape)
+                        ).astype(np.complex64)
+        ul = phy.work(tti, dl + noise)
+        ue.run_tti(tti)
+        enb.receive_ul(tti, ul)
+        # gate on attached like ue::get_metrics (ue.cc:249)
+        mp.step(tti, attached=ue.is_attached, phy=phy.get_metrics(),
+                mac_metrics=ue.mac.get_metrics())
+        if ue.is_attached and buf.getvalue():
+            break
+    out = buf.getvalue()
+    assert "rsrp" in out and out.count("\n") >= 2, out

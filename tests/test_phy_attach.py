@@ -140,8 +140,9 @@ def test_phy_level_rach_and_msg3():
     assert phy.ta == 11
 
     # --- Msg3: UE PUSCH encode; eNB SC-FDMA decode ------------------------
-    msg3_mac_pdu = mac.new_grant_ul(ptti + 6, grant_bytes=24)
-    assert msg3_mac_pdu is not None
+    msg3_tx = mac.new_grant_ul(ptti + 6, grant_bytes=24)
+    assert msg3_tx is not None
+    msg3_mac_pdu = msg3_tx.payload
     ug = UlGrant(n_prb=4, prb_start=0, mcs=2, mod_order=2, tbs=24 * 8)
     pc = pusch.PuschCodec(cell, ug, rnti=0x4601, subframe=(sf + 2) % 10)
     payload_bits = np.unpackbits(np.frombuffer(msg3_mac_pdu, np.uint8))

@@ -48,9 +48,17 @@ def test_half_kernel_matches_jax():
     )
     np.testing.assert_allclose(np.asarray(got_ext), np.asarray(ref_ext),
                                rtol=1e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got_ab), np.asarray(ref_ab),
+    # boundary metrics are defined up to a per-window additive offset
+    # (max-log only uses differences; the kernel normalizes by state 0,
+    # the JAX reference by the per-step max) — compare offset-invariantly
+    def norm(x):
+        return x - x.max(axis=-1, keepdims=True)
+
+    np.testing.assert_allclose(norm(np.asarray(got_ab)),
+                               norm(np.asarray(ref_ab)),
                                rtol=1e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got_bb), np.asarray(ref_bb),
+    np.testing.assert_allclose(norm(np.asarray(got_bb)),
+                               norm(np.asarray(ref_bb)),
                                rtol=1e-5, atol=1e-4)
 
 
