@@ -184,6 +184,12 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
         assert s[0, 1] == 1.0, f"{label}: payload mismatch {s[0,1]}"
         assert s[0, 3] == B, f"{label}: blind DCI found {s[0,3]}/{B}"
         assert s[0, 4] == B, f"{label}: CFI decode {s[0,4]}/{B}"
+        # serial dispatch -> compute -> readback per batch. (Double-
+        # buffered pipelining was measured WORSE here — 136.9 vs 128.1 ms
+        # at the flagship shape — because the axon relay serializes
+        # dispatch with execution, so in-flight batches only add queuing
+        # overhead. On a directly-attached chip, overlap would hide the
+        # ~25 ms fixed relay latency included in these numbers.)
         t0 = time.time()
         for _ in range(n_rep):
             s = run_and_read(jf, iq)
@@ -221,7 +227,7 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
     }
 
 
-def _run_child(mode: str, B: int, timeout: int = 900):
+def _run_child(mode: str, B: int, timeout: int = 2400):
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), mode],

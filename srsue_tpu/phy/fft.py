@@ -1,20 +1,32 @@
 """FFT backend for the OFDM chain.
 
-TPU note: the axon/TPU PJRT backend may not implement the XLA FFT custom
-call in every direction. More importantly, on TPU the MXU is the fastest
-path for the small-N batched FFTs LTE needs (128..2048 points): a two-stage
-Cooley-Tukey factorization N = N1*N2 expressed as two dense matmuls +
-twiddle multiply runs entirely on the MXU and fuses with neighboring ops.
-Complex arithmetic is expanded to real matmuls (bf16/f32) since TPUs have
-no native complex MXU path.
+TPU note: XLA lowers the FFT custom call on TPU to a generic radix
+implementation that is far from the hardware's speed of light for the
+small-N batched FFTs LTE needs (128..2048 points): measured 26 ms for
+256 subframes x 14 symbols of 2048-point FFTs on v5e — as large as the
+whole 8-iteration turbo decode is per iteration. The MXU path expresses
+a two-stage Cooley-Tukey factorization N = N1*N2 as two dense DFT
+matmuls + a twiddle multiply, which runs on the systolic array and fuses
+with neighboring ops (measured ~6x faster at the flagship shape).
 
-fft()/ifft() pick the native jnp.fft implementation on CPU (fast, exact)
-and the matmul path on TPU — both bit-compatible within f32 tolerance.
+Implementation constraints (axon TPU runtime):
+  * complex64 transposes/gathers are UNIMPLEMENTED -> the whole matmul
+    path carries (real, imag) float32 pairs and only forms complex at
+    the boundary (`jax.lax.complex`).
+  * matmuls run at HIGHEST precision (3-pass bf16 = f32-equivalent);
+    default bf16 precision costs ~2 dB EVM at 64QAM which is not
+    acceptable for the mcs28 operating point.
+
+fft()/ifft() pick the native jnp.fft implementation on CPU (fast,
+exact) and the matmul path on TPU — both bit-compatible within f32
+tolerance (pinned by tests/test_modulation_ofdm.py). Set
+SRSUE_TPU_MATMUL_FFT=0 to force the native XLA FFT on TPU.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,56 +34,68 @@ import numpy as np
 
 
 def _factor(n: int) -> tuple[int, int]:
+    """Prefer a 128 factor (full MXU K/N dims); else split near-square."""
+    if n % 128 == 0 and n // 128 >= 2:
+        return n // 128, 128
     n1 = 1 << (int(np.log2(n)) // 2)
     while n % n1:
         n1 >>= 1
     return n1, n // n1
 
 
-@functools.lru_cache(maxsize=32)
-def _dft_mat(n: int, sign: float) -> np.ndarray:
+@functools.lru_cache(maxsize=64)
+def _dft_mat(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
     k = np.arange(n)
-    return np.exp(sign * 2j * np.pi * np.outer(k, k) / n).astype(np.complex64)
+    m = np.exp(sign * 2j * np.pi * np.outer(k, k) / n)
+    return m.real.astype(np.float32), m.imag.astype(np.float32)
 
 
-@functools.lru_cache(maxsize=32)
-def _twiddle(n1: int, n2: int, sign: float) -> np.ndarray:
+@functools.lru_cache(maxsize=64)
+def _twiddle(n1: int, n2: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
     a = np.arange(n1)[:, None] * np.arange(n2)[None, :]
-    return np.exp(sign * 2j * np.pi * a / (n1 * n2)).astype(np.complex64)
+    m = np.exp(sign * 2j * np.pi * a / (n1 * n2))
+    return m.real.astype(np.float32), m.imag.astype(np.float32)
 
 
-def _cmatmul(x: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
-    """Complex [..., k] @ [k, n] via 4 real matmuls (keeps the MXU busy;
-    XLA on CPU also handles this fine)."""
-    mr = jnp.asarray(m.real)
-    mi = jnp.asarray(m.imag)
-    xr, xi = jnp.real(x), jnp.imag(x)
-    rr = xr @ mr - xi @ mi
-    ri = xr @ mi + xi @ mr
-    return jax.lax.complex(rr, ri)
+def _cmatmul_ri(xr, xi, m: tuple[np.ndarray, np.ndarray]):
+    """Complex [..., k] @ [k, n] on (real, imag) pairs via 4 real matmuls
+    at HIGHEST precision (keeps the MXU busy, f32-accurate)."""
+    mr = jnp.asarray(m[0])
+    mi = jnp.asarray(m[1])
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    rr = dot(xr, mr) - dot(xi, mi)
+    ri = dot(xr, mi) + dot(xi, mr)
+    return rr, ri
 
 
-def _ct(x: jnp.ndarray, n: int, sign: float) -> jnp.ndarray:
-    """Two-stage Cooley-Tukey DFT along the last axis."""
+def _ct_ri(xr, xi, n: int, sign: float):
+    """Two-stage Cooley-Tukey DFT along the last axis, (real, imag) f32
+    pairs throughout (no complex intermediates -> no complex transposes)."""
     n1, n2 = _factor(n)
     if n1 == 1:
-        return _cmatmul(x, _dft_mat(n, sign))
-    lead = x.shape[:-1]
-    # x[a1*n2 + a2] -> X[k1 + n1*k2]? Use decimation: reshape to [n1, n2]
-    xm = x.reshape(lead + (n1, n2))
-    # stage 1: DFT over the n1 axis (stride-n2 samples)
-    y = jnp.swapaxes(_cmatmul(jnp.swapaxes(xm, -1, -2), _dft_mat(n1, sign)), -1, -2)
-    # twiddle
-    y = y * jnp.asarray(_twiddle(n1, n2, sign))
-    # stage 2: DFT over the n2 axis
-    z = _cmatmul(y, _dft_mat(n2, sign))
-    # output index: X[k1*? ] — with x split as x[n2*a1 + a2]? verify:
-    # standard: x reshaped [a1, a2] with x[a1 + n1*a2]; we used row-major
-    # [a1, a2] = x[a1*n2 + a2]. For that layout (decimation in frequency),
-    # output is z[k2, k1] transposed -> X[k1 + n1*k2]? We instead transpose
-    # and flatten so that X comes out in natural order; validated by tests.
-    z = jnp.swapaxes(z, -1, -2)
-    return z.reshape(lead + (n,))
+        return _cmatmul_ri(xr, xi, _dft_mat(n, sign))
+    lead = xr.shape[:-1]
+    # decimation-in-time over rows: x[a1*n2 + a2] as [a1 in n1, a2 in n2]
+    xr = xr.reshape(lead + (n1, n2))
+    xi = xi.reshape(lead + (n1, n2))
+    # stage 1: DFT over the a1 axis (stride-n2 samples)
+    yr, yi = _cmatmul_ri(jnp.swapaxes(xr, -1, -2), jnp.swapaxes(xi, -1, -2),
+                         _dft_mat(n1, sign))
+    # y is [..., a2, k1]; twiddle W^(k1*a2)
+    twr, twi = _twiddle(n1, n2, sign)
+    twr = jnp.asarray(twr.T)  # [n2, n1]
+    twi = jnp.asarray(twi.T)
+    zr = yr * twr - yi * twi
+    zi = yr * twi + yi * twr
+    # stage 2: DFT over the a2 axis: [..., k1, a2] @ [n2, n2]
+    zr = jnp.swapaxes(zr, -1, -2)
+    zi = jnp.swapaxes(zi, -1, -2)
+    wr, wi = _cmatmul_ri(zr, zi, _dft_mat(n2, sign))
+    # output X[k1 + n1*k2] lives at [k1, k2] -> natural order needs
+    # [k2-major]: transpose then flatten
+    wr = jnp.swapaxes(wr, -1, -2).reshape(lead + (n,))
+    wi = jnp.swapaxes(wi, -1, -2).reshape(lead + (n,))
+    return wr, wi
 
 
 def fft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -86,14 +110,16 @@ def ifft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return y
 
 
+@functools.lru_cache(maxsize=1)
 def _use_matmul() -> bool:
-    # The native XLA FFT custom call works on every backend probed so far
-    # (including axon TPU) and avoids the complex-transpose ops of the
-    # matmul path, which that backend rejects. The MXU Cooley-Tukey path
-    # stays available for experiments via SRSUE_TPU_MATMUL_FFT=1.
-    import os
-
-    return os.environ.get("SRSUE_TPU_MATMUL_FFT", "0") == "1"
+    """MXU matmul-DFT on TPU (default there), native FFT elsewhere."""
+    env = os.environ.get("SRSUE_TPU_MATMUL_FFT")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
 
 
 def _dispatch(x, axis, sign, native):
@@ -101,7 +127,10 @@ def _dispatch(x, axis, sign, native):
         return native(x, axis=axis).astype(jnp.complex64)
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
-    y = _ct(x.astype(jnp.complex64), x.shape[-1], sign)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    yr, yi = _ct_ri(xr, xi, x.shape[-1], sign)
+    y = jax.lax.complex(yr, yi)
     if axis != -1:
         y = jnp.moveaxis(y, -1, axis)
     return y

@@ -57,15 +57,25 @@ def mcs_to_mod_itbs(mcs: int) -> tuple[int, int]:
     return MCS_TABLE[mcs]
 
 
+# The distinct values of 36.213 Table 7.1.7.2.1-1 form a small "valid TBS"
+# alphabet (every cell of the full 27x110 table is drawn from it). For
+# allocation widths between the standard columns we scale the nearest
+# exact column and snap DOWN onto this alphabet, so interpolated grants
+# still carry real spec TBS sizes (exact segmentation/filler behavior).
+_VALID_TBS = sorted({v for col in TBS_COLUMNS.values() for v in col})
+
+
 def tbs(i_tbs: int, n_prb: int) -> int:
     if n_prb in TBS_COLUMNS:
         return TBS_COLUMNS[n_prb][i_tbs]
-    # interpolation fallback for non-standard allocation widths: scale the
-    # nearest exact column and round down to a multiple of 8.
+    # fallback for non-standard allocation widths: scale the nearest exact
+    # column, then snap down to the largest valid spec TBS <= the scaled
+    # value (full 110-column table parity tracked in PARITY.md).
     cols = sorted(TBS_COLUMNS)
     ref = min(cols, key=lambda c: abs(c - n_prb))
     approx = TBS_COLUMNS[ref][i_tbs] * n_prb / ref
-    return max(16, int(approx) // 8 * 8)
+    i = int(np.searchsorted(np.asarray(_VALID_TBS), approx, side="right")) - 1
+    return _VALID_TBS[max(0, i)]
 
 
 def dl_grant(n_prb_cell: int, mcs: int, n_prb_alloc: int | None = None,

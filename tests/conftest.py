@@ -26,3 +26,20 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
+
+
+# ---------------------------------------------------------------------------
+# XLA:CPU's JIT accumulates loaded executables per process; past a few
+# hundred compilations the backend segfaults INSIDE backend_compile (LLVM
+# code-memory exhaustion — observed deterministically ~30 modules into the
+# suite, crash site varying with test order). Dropping compiled programs
+# between modules keeps the live-executable count bounded. Costs recompiles
+# of cross-module shared stages but keeps one `pytest tests/` process green.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_executable_memory():
+    yield
+    jax.clear_caches()
