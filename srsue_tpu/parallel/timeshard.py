@@ -29,8 +29,9 @@ def sharded_frontend(cell: Cell, mesh: Mesh, n_sf_per_dev: int,
     (optionally) FIR-decimated with right-neighbor halo exchange, and
     OFDM-demodulated — each device produces the grids of its own block.
 
-    Returns (fn, in_sharding): fn(iq [n_dev*block]) ->
-    grids [n_dev*n_sf, n_sym, n_sc_eff].
+    Returns (fn, in_sharding, out_cell): fn(iq [n_dev*block]) ->
+    grids [n_dev*n_sf, n_sym, n_sc_eff]; out_cell describes the grid
+    geometry after decimation (== cell when decim == 1).
     """
     n_dev = mesh.shape[axis]
     taps = sync._lpf_taps(decim) if decim > 1 else np.array([1.0], np.float32)

@@ -30,8 +30,25 @@ MCS_TABLE = [
     (MOD_64QAM, 24), (MOD_64QAM, 25), (MOD_64QAM, 26),
 ]
 
-# 36.213 Table 7.1.7.2.1-1 columns (I_TBS 0..26) for standard bandwidths.
+# 36.213 Table 7.1.7.2.1-1 columns (I_TBS 0..26) for the standard
+# bandwidths plus the narrow-allocation columns N_PRB 1..5 (the widths
+# DCI type-2 RA can produce; ADVICE r2: scaled fallback overestimated
+# these by up to ~10x).
 TBS_COLUMNS: dict[int, list[int]] = {
+    1: [16, 24, 32, 40, 56, 72, 88, 104, 120, 136, 144, 176, 208, 224,
+        256, 280, 328, 336, 376, 408, 440, 488, 520, 552, 584, 616, 712],
+    2: [32, 56, 72, 104, 120, 144, 176, 224, 256, 296, 328, 376, 440,
+        488, 552, 600, 632, 696, 776, 840, 904, 1000, 1064, 1128, 1192,
+        1256, 1480],
+    3: [56, 88, 144, 176, 208, 224, 256, 328, 392, 456, 504, 584, 680,
+        744, 840, 904, 968, 1064, 1160, 1288, 1384, 1480, 1608, 1736,
+        1800, 1864, 2216],
+    4: [88, 144, 176, 208, 256, 328, 392, 472, 536, 616, 680, 776, 904,
+        1000, 1128, 1224, 1288, 1416, 1544, 1736, 1864, 1992, 2152,
+        2280, 2408, 2536, 2984],
+    5: [120, 176, 208, 256, 328, 424, 504, 584, 680, 776, 872, 1000,
+        1128, 1256, 1416, 1544, 1608, 1800, 1992, 2152, 2344, 2472,
+        2664, 2856, 2984, 3112, 3752],
     6: [152, 208, 256, 328, 408, 504, 600, 712, 808, 936, 1032, 1192, 1352,
         1544, 1736, 1800, 1928, 2152, 2344, 2600, 2792, 2984, 3240, 3496,
         3624, 3752, 4392],
@@ -70,10 +87,14 @@ def tbs(i_tbs: int, n_prb: int) -> int:
         return TBS_COLUMNS[n_prb][i_tbs]
     # fallback for non-standard allocation widths: scale the nearest exact
     # column, then snap down to the largest valid spec TBS <= the scaled
-    # value (full 110-column table parity tracked in PARITY.md).
+    # value (full 110-column table parity tracked in PARITY.md). Below the
+    # alphabet floor, fall back to a byte-aligned floor rather than
+    # clamping UP (ADVICE r2 medium).
     cols = sorted(TBS_COLUMNS)
     ref = min(cols, key=lambda c: abs(c - n_prb))
     approx = TBS_COLUMNS[ref][i_tbs] * n_prb / ref
+    if approx < _VALID_TBS[0]:
+        return max(16, int(approx) // 8 * 8)
     i = int(np.searchsorted(np.asarray(_VALID_TBS), approx, side="right")) - 1
     return _VALID_TBS[max(0, i)]
 

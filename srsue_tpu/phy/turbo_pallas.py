@@ -33,6 +33,7 @@ compiled on TPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -161,34 +162,162 @@ def _half_kernel(lin_ref, par_ref, a0_ref, b0_ref,
         bfirst_ref[s] = beta[s]
 
 
-def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False):
+def _half_kernel_v3(lin_ref, par_ref, a0_ref, b0_ref,
+                    ext_ref, alast_ref, bfirst_ref,
+                    alphas_ref, gpp_ref, gpm_ref,
+                    *, unroll: bool, sublanes: int = SUBLANES):
+    """v3 layout: branch metrics VECTORIZED over the whole window up
+    front (two whole-array ops instead of per-step scalar folds), the
+    recursion then reads them back from VMEM scratch. The four gamma
+    values per step are +-gpp, +-gpm; negation is folded into the
+    add/subtract of the recursion so no negative arrays are formed."""
+    ns, par, prev_s, prev_u, u_sign, p_sign = _static_tables()
+    lw = lin_ref.shape[0]
+
+    # ---- vectorized branch metrics over all lw steps at once ----
+    gpp_ref[:] = 0.5 * (lin_ref[:] + par_ref[:])
+    gpm_ref[:] = 0.5 * (lin_ref[:] - par_ref[:])
+
+    def g_of(t):
+        gpp = gpp_ref[t]
+        gpm = gpm_ref[t]
+        return {(1, 1): gpp, (1, -1): gpm}
+
+    def pm(g, us, ps):
+        """alpha + gamma with negation folded: gamma(u,p) = us*hl+ps*hp;
+        (us,ps) in {(+,+):gpp, (+,-):gpm, (-,+):-gpm, (-,-):-gpp}."""
+        if us > 0:
+            return (g[(1, 1)], 1.0) if ps > 0 else (g[(1, -1)], 1.0)
+        return (g[(1, -1)], -1.0) if ps > 0 else (g[(1, 1)], -1.0)
+
+    # ---------------- forward ----------------
+    def fwd_step(t, alpha):
+        g = g_of(t)
+        for s in range(8):
+            alphas_ref[t, s] = alpha[s]
+        new = []
+        for sp in range(8):
+            s0, u0 = int(prev_s[sp, 0]), int(prev_u[sp, 0])
+            s1, u1 = int(prev_s[sp, 1]), int(prev_u[sp, 1])
+            ga, sa = pm(g, int(u_sign[u0]), int(p_sign[s0, u0]))
+            gb, sb = pm(g, int(u_sign[u1]), int(p_sign[s1, u1]))
+            c0 = alpha[s0] + ga if sa > 0 else alpha[s0] - ga
+            c1 = alpha[s1] + gb if sb > 0 else alpha[s1] - gb
+            new.append(jnp.maximum(c0, c1))
+        return new
+
+    def fwd_body(t_base, alpha):
+        alpha = list(alpha)
+        for j in range(NORM_EVERY):
+            alpha = fwd_step(t_base * NORM_EVERY + j, alpha)
+        z = alpha[0]
+        return tuple(a - z for a in alpha)
+
+    alpha = tuple(a0_ref[s] for s in range(8))
+    if unroll:
+        for t_base in range(lw // NORM_EVERY):
+            alpha = fwd_body(t_base, alpha)
+    else:
+        alpha = jax.lax.fori_loop(0, lw // NORM_EVERY, fwd_body, alpha)
+    for s in range(8):
+        alast_ref[s] = alpha[s]
+
+    # ---------------- backward + extrinsic ----------------
+    def bwd_step(t, beta):
+        g = g_of(t)
+        m0 = None
+        m1 = None
+        new = []
+        for s in range(8):
+            a_s = alphas_ref[t, s]
+            bu = None
+            for u in range(2):
+                gg, sg = pm(g, int(u_sign[u]), int(p_sign[s, u]))
+                nb = beta[int(ns[s, u])]
+                bcand = nb + gg if sg > 0 else nb - gg
+                m = bcand + a_s
+                if u == 0:
+                    m0 = m if m0 is None else jnp.maximum(m0, m)
+                else:
+                    m1 = m if m1 is None else jnp.maximum(m1, m)
+                bu = bcand if bu is None else jnp.maximum(bu, bcand)
+            new.append(bu)
+        ext_ref[t] = (m0 - m1) - lin_ref[t]
+        return new
+
+    def bwd_body(t_base, beta):
+        beta = list(beta)
+        for j in range(NORM_EVERY):
+            beta = bwd_step(lw - 1 - (t_base * NORM_EVERY + j), beta)
+        z = beta[0]
+        return tuple(b - z for b in beta)
+
+    beta = tuple(b0_ref[s] for s in range(8))
+    if unroll:
+        for t_base in range(lw // NORM_EVERY):
+            beta = bwd_body(t_base, beta)
+    else:
+        beta = jax.lax.fori_loop(0, lw // NORM_EVERY, bwd_body, beta)
+    for s in range(8):
+        bfirst_ref[s] = beta[s]
+
+
+def tile_windows(x, d, T):
+    """[n, d] -> [T*d, 8, 128] with d-major rows inside each tile."""
+    return (x.reshape(T, SUBLANES, LANES, d)
+            .transpose(0, 3, 1, 2).reshape(T * d, SUBLANES, LANES))
+
+
+def untile_windows(y, d, T, n):
+    return (y.reshape(T, d, SUBLANES, LANES)
+            .transpose(0, 2, 3, 1).reshape(n, d))
+
+
+def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
+                         unroll: bool | None = None,
+                         par_is_tiled: bool = False):
     """[n, lw] window-major inputs -> (ext [n, lw], alpha_last [n, 8],
     beta_first [n, 8]) where n = number of (block, window) pairs, padded
     by the caller to a multiple of TILE (=1024).
 
     Window w rides (tile w//1024, sublane (w%1024)//128, lane w%128).
+    unroll defaults to the compiled-path choice (True unless interpret);
+    tests override it to pin both kernel forms against each other.
     """
+    if unroll is None:
+        unroll = not interpret
     n = lin.shape[0]
     assert n % TILE == 0, f"pad window count to {TILE}: {n}"
     assert lw % NORM_EVERY == 0, f"window {lw} % {NORM_EVERY} != 0"
     T = n // TILE
 
     def to_tiles(x, d):
-        # [n, d] -> [T*d, 8, 128] with d-major rows inside each tile
-        return (x.reshape(T, SUBLANES, LANES, d)
-                .transpose(0, 3, 1, 2).reshape(T * d, SUBLANES, LANES))
+        return tile_windows(x, d, T)
 
     def from_tiles(y, d):
-        return (y.reshape(T, d, SUBLANES, LANES)
-                .transpose(0, 2, 3, 1).reshape(n, d))
+        return untile_windows(y, d, T, n)
 
     grid = (T,)
     spec_lw = pl.BlockSpec((lw, SUBLANES, LANES), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_8 = pl.BlockSpec((8, SUBLANES, LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    # v3 (vectorized branch metrics, negation folded into the recursion)
+    # measured 1.11x the v2 kernel at the flagship shape on v5e
+    # (tools/bench_kernel_variants.py); v2 kept for A/B.
+    variant = os.environ.get("SRSUE_TPU_TURBO_KERNEL", "v3")
+    if variant == "v3":
+        kernel = functools.partial(_half_kernel_v3, unroll=unroll)
+        scratch = [
+            pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_half_kernel, unroll=unroll)
+        scratch = [pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32)]
     ext, alast, bfirst = pl.pallas_call(
-        functools.partial(_half_kernel, unroll=not interpret),
+        kernel,
         grid=grid,
         in_specs=[spec_lw, spec_lw, spec_8, spec_8],
         out_specs=[spec_lw, spec_8, spec_8],
@@ -197,17 +326,36 @@ def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False):
             jax.ShapeDtypeStruct((T * 8, SUBLANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((T * 8, SUBLANES, LANES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(to_tiles(lin, lw), to_tiles(par, lw), to_tiles(a0, 8), to_tiles(b0, 8))
+    )(to_tiles(lin, lw), par if par_is_tiled else to_tiles(par, lw),
+      to_tiles(a0, 8), to_tiles(b0, 8))
     return from_tiles(ext, lw), from_tiles(alast, 8), from_tiles(bfirst, 8)
+
+
+def pretile_par(par_llr, lw: int):
+    """Pre-tile a (loop-invariant) parity stream for reuse across
+    iterations: inside a lax.while/cond body the [n, lw] -> tile
+    transpose would otherwise re-execute EVERY iteration (it is only
+    CSE-hoisted in unrolled loops)."""
+    B, K = par_llr.shape
+    n = B * (K // lw)
+    pad = (-n) % TILE
+    par_w = par_llr.reshape(n, lw)
+    if pad:
+        par_w = jnp.concatenate(
+            [par_w, jnp.zeros((pad, lw), jnp.float32)])
+    return tile_windows(par_w, lw, (n + pad) // TILE)
 
 
 def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
                               alpha_b, beta_b, lw: int,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              par_tiles=None):
     """Drop-in replacement for turbo._bcjr_half_windowed backed by the
-    Pallas kernel. Shapes: [B, K] LLRs, [B, W, 8] boundaries."""
+    Pallas kernel. Shapes: [B, K] LLRs, [B, W, 8] boundaries.
+    par_tiles: optional pretile_par(par_llr, lw) result; when given,
+    par_llr is ignored in favor of the pre-tiled form."""
     B, K = sys_llr.shape
     W = K // lw
     n = B * W
@@ -215,7 +363,7 @@ def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
 
     Lin = sys_llr + apriori
     lin_w = Lin.reshape(n, lw)
-    par_w = par_llr.reshape(n, lw)
+    par_w = par_llr.reshape(n, lw) if par_tiles is None else None
 
     known0 = jnp.full((8,), _NEG, jnp.float32).at[0].set(0.0)
     a0 = jnp.where(
@@ -230,12 +378,14 @@ def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
         z2 = jnp.zeros((pad, lw), jnp.float32)
         z8 = jnp.zeros((pad, 8), jnp.float32)
         lin_w = jnp.concatenate([lin_w, z2])
-        par_w = jnp.concatenate([par_w, z2])
+        if par_w is not None:
+            par_w = jnp.concatenate([par_w, z2])
         a0 = jnp.concatenate([a0, z8])
         b0 = jnp.concatenate([b0, z8])
 
-    ext, alast, bfirst = half_windowed_pallas(lin_w, par_w, a0, b0, lw,
-                                              interpret=interpret)
+    ext, alast, bfirst = half_windowed_pallas(
+        lin_w, par_tiles if par_tiles is not None else par_w, a0, b0, lw,
+        interpret=interpret, par_is_tiled=par_tiles is not None)
     ext = ext[:n].reshape(B, K)
     alast = alast[:n].reshape(B, W, 8)
     bfirst = bfirst[:n].reshape(B, W, 8)
@@ -271,6 +421,12 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
 
     crc_m = None if crc_mat is None else jnp.asarray(crc_mat.astype(np.float32))
 
+    # the parity streams are loop-invariant: pre-tile them ONCE so the
+    # [n, lw] -> VPU-tile transposes don't re-execute per while/scan
+    # iteration (unrolled loops get this via CSE; loop bodies do not)
+    par1_t = pretile_par(par1, window)
+    par2_t = pretile_par(par2, window)
+
     def crc_ok_of(hard):
         if crc_m is None:
             return jnp.zeros((B,), bool)
@@ -281,11 +437,11 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
         le21, done, iters_used, hard_prev, ab1, bb1, ab2, bb2 = carry
         le12, ab1n, bb1n = bcjr_half_windowed_pallas(
             sys1, par1, le21, tail1_sys, tail1_par, ab1, bb1, window,
-            interpret=interpret,
+            interpret=interpret, par_tiles=par1_t,
         )
         le21_raw, ab2n, bb2n = bcjr_half_windowed_pallas(
             sys2, par2, le12[:, perm], tail2_sys, tail2_par, ab2, bb2, window,
-            interpret=interpret,
+            interpret=interpret, par_tiles=par2_t,
         )
         le21_new = le21_raw[:, inv]
         post = sys1 + le12 + le21_new
@@ -314,7 +470,10 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
         zb, zb, zb, zb,
     )
     if crc_mat is not None and early_exit:
-        # whole-batch device-side early exit (see turbo.decode)
+        # whole-batch device-side early exit (see turbo.decode). A
+        # while_loop measured better than an unrolled lax.cond chain
+        # here: both materialize the loop state per step, but the while
+        # stops issuing work as soon as every block converged.
         def cond(state):
             i, carry = state
             return (i < n_iters) & ~jnp.all(carry[1])
@@ -327,9 +486,30 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
         _, (le21, done, iters_used, hard, *_) = jax.lax.while_loop(
             cond, step, (jnp.int32(0), init)
         )
-    else:
-        (le21, done, iters_used, hard, *_), _ = jax.lax.scan(
-            body, init, None, length=n_iters
+        ok = crc_ok_of(hard) | done
+        return hard, iters_used, ok
+
+    # forced-iteration path (the 8-iter headline): no per-iteration CRC
+    # syndromes or done-masking, and the iteration loop is UNROLLED in
+    # Python — lax.scan around the pallas custom-calls materializes its
+    # big carries every step (measured +10 ms/iteration at the flagship
+    # shape on v5e; unrolled: 5.3 ms/iteration ~= kernel cost). Hard
+    # decision + CRC happen ONCE at the end.
+    le21 = init[0]
+    le12 = init[0]
+    ab1 = bb1 = ab2 = bb2 = zb
+    for _ in range(n_iters):
+        le12, ab1, bb1 = bcjr_half_windowed_pallas(
+            sys1, par1, le21, tail1_sys, tail1_par, ab1, bb1, window,
+            interpret=interpret, par_tiles=par1_t,
         )
-    ok = crc_ok_of(hard) | done
+        le21_raw, ab2, bb2 = bcjr_half_windowed_pallas(
+            sys2, par2, le12[:, perm], tail2_sys, tail2_par, ab2, bb2,
+            window, interpret=interpret, par_tiles=par2_t,
+        )
+        le21 = le21_raw[:, inv]
+    post = sys1 + le12 + le21
+    hard = (post < 0).astype(jnp.uint8)
+    ok = crc_ok_of(hard)
+    iters_used = jnp.full((B,), n_iters, jnp.int32)
     return hard, iters_used, ok

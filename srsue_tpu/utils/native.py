@@ -56,6 +56,47 @@ def _load():
         ctypes.c_int32, ctypes.c_uint32, ctypes.c_int32,
     ]
     lib.crc_bits.restype = ctypes.c_uint32
+    lib.turbo_decode_maxlog_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+    ]
+    # IQ stream / timed-TX runtime (native/iq_stream.cc)
+    lib.iqstream_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                  ctypes.c_uint32]
+    lib.iqstream_open.restype = ctypes.c_void_p
+    lib.iqstream_read.argtypes = [
+        ctypes.c_void_p, np.ctypeslib.ndpointer(np.float32, flags="C"),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.iqstream_read.restype = ctypes.c_int64
+    lib.iqstream_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.iqstream_seek.restype = ctypes.c_int
+    lib.iqstream_underflows.argtypes = [ctypes.c_void_p]
+    lib.iqstream_underflows.restype = ctypes.c_uint64
+    lib.iqstream_close.argtypes = [ctypes.c_void_p]
+    lib.txq_create.restype = ctypes.c_void_p
+    lib.txq_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C"), ctypes.c_int64,
+    ]
+    lib.txq_submit.restype = ctypes.c_int64
+    for name in ("txq_late", "txq_committed"):
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+        getattr(lib, name).restype = ctypes.c_uint64
+    for name in ("txq_stream_len", "txq_stream_t0"):
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+        getattr(lib, name).restype = ctypes.c_int64
+    lib.txq_read_stream.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C"), ctypes.c_int64,
+    ]
+    lib.txq_read_stream.restype = ctypes.c_int64
+    lib.txq_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -102,3 +143,27 @@ def crc_bits(bits: np.ndarray, poly: int, order: int) -> int | None:
         return None
     b = np.ascontiguousarray(bits, np.uint8)
     return int(lib.crc_bits(b, len(b), poly, order))
+
+
+def turbo_decode(d_llrs: np.ndarray, perm: np.ndarray, inv: np.ndarray,
+                 n_iters: int = 8, crc_poly: int = 0, crc_order: int = 0
+                 ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native max-log-MAP decode of [n, 3, k+4] LLR blocks -> (hard
+    [n, k] uint8, iters [n] int32). None if native code unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(d_llrs, np.float32)
+    if d.ndim == 2:
+        d = d[None]
+    n, three, kp4 = d.shape
+    assert three == 3
+    k = kp4 - 4
+    hard = np.empty((n, k), np.uint8)
+    iters = np.empty((n,), np.int32)
+    lib.turbo_decode_maxlog_batch(
+        d.reshape(n, -1), np.ascontiguousarray(perm, np.int32),
+        np.ascontiguousarray(inv, np.int32), k, n, n_iters,
+        crc_poly, crc_order, hard, iters,
+    )
+    return hard, iters

@@ -87,3 +87,32 @@ def test_ofdm_cp_is_cyclic():
     cp0 = cell.cp_lengths[0]
     # CP of symbol 0 equals its tail
     np.testing.assert_allclose(td[:cp0], td[cell.nfft : cp0 + cell.nfft], atol=1e-6)
+
+
+def test_matmul_dft_matches_native_fft(monkeypatch):
+    """The MXU matmul-DFT path (the DEFAULT on TPU) pinned on CPU against
+    jnp.fft for every LTE FFT/DFT size (ADVICE r2: this path previously
+    shipped untested because the suite runs on CPU where it is off)."""
+    from srsue_tpu.phy import fft as fftmod
+
+    monkeypatch.setenv("SRSUE_TPU_MATMUL_FFT", "1")
+    fftmod._use_matmul.cache_clear()
+    try:
+        assert fftmod._use_matmul()
+        rng = np.random.default_rng(11)
+        # OFDM nfft sizes + PUSCH DFT-precode sizes (12*n_prb)
+        for n in [128, 256, 512, 1024, 2048, 300, 600, 1200]:
+            x = (rng.standard_normal((3, n)) +
+                 1j * rng.standard_normal((3, n))).astype(np.complex64)
+            got_f = np.asarray(fftmod.fft(jnp.asarray(x)))
+            got_i = np.asarray(fftmod.ifft(jnp.asarray(x)))
+            ref_f = np.fft.fft(x)
+            ref_i = np.fft.ifft(x)
+            scale = np.abs(ref_f).max()
+            np.testing.assert_allclose(got_f, ref_f, atol=2e-4 * scale,
+                                       err_msg=f"fft n={n}")
+            np.testing.assert_allclose(got_i, ref_i,
+                                       atol=2e-4 * np.abs(ref_i).max()
+                                       + 1e-6, err_msg=f"ifft n={n}")
+    finally:
+        fftmod._use_matmul.cache_clear()

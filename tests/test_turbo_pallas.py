@@ -74,3 +74,46 @@ def test_full_decode_matches_windowed(k):
     assert np.asarray(ok_pal).all()
     np.testing.assert_array_equal(np.asarray(h_pal), np.asarray(h_ref))
     np.testing.assert_array_equal(np.asarray(it_pal), np.asarray(it_ref))
+
+
+def test_unrolled_kernel_matches_fori_loop():
+    """The UNROLLED kernel body (the variant actually compiled on TPU)
+    equals the fori_loop form in interpret mode (ADVICE r2: the unrolled
+    form previously shipped untested)."""
+    k, lw, b = 256, 64, 2
+    rng = np.random.default_rng(7)
+    _, llrs, _ = _make(k, b, 2.0, rng)
+    n = b * (k // lw)
+    pad = (-n) % turbo_pallas.TILE
+    lin = np.concatenate(
+        [llrs[:, 0, :k].reshape(n, lw),
+         np.zeros((pad, lw), np.float32)]).astype(np.float32)
+    par = np.concatenate(
+        [llrs[:, 1, :k].reshape(n, lw),
+         np.zeros((pad, lw), np.float32)]).astype(np.float32)
+    a0 = np.zeros((n + pad, 8), np.float32)
+    b0 = np.zeros((n + pad, 8), np.float32)
+    args = (jnp.asarray(lin), jnp.asarray(par), jnp.asarray(a0),
+            jnp.asarray(b0))
+    ref = turbo_pallas.half_windowed_pallas(*args, lw, interpret=True,
+                                            unroll=False)
+    got = turbo_pallas.half_windowed_pallas(*args, lw, interpret=True,
+                                            unroll=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-5)
+
+
+def test_forced_path_decodes():
+    """The lean forced-iteration path (no per-iteration CRC/masking —
+    the 8-iter headline program) still decodes correctly and reports
+    iters == n_iters."""
+    k = 512
+    rng = np.random.default_rng(9)
+    payloads, llrs, m = _make(k, 2, 1.0, rng)
+    h, it, ok = turbo_pallas.decode(jnp.asarray(llrs), k, 4, crc_mat=m,
+                                    window=64, early_exit=False,
+                                    interpret=True)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(h), payloads)
+    np.testing.assert_array_equal(np.asarray(it), np.full(2, 4))
