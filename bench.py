@@ -190,10 +190,22 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
         # dispatch with execution, so in-flight batches only add queuing
         # overhead. On a directly-attached chip, overlap would hide the
         # ~25 ms fixed relay latency included in these numbers.)
+        # SRSUE_BENCH_XPROF=<dir>: capture an XLA-profiler device trace
+        # of the timed reps (TensorBoard/xprof), srsue_tpu.utils.trace
+        import contextlib
+
+        from srsue_tpu.utils.trace import XlaTrace
+
+        xprof_dir = os.environ.get("SRSUE_BENCH_XPROF")
+        ctx = (XlaTrace(f"{xprof_dir}/{label}") if xprof_dir
+               else contextlib.nullcontext())
         t0 = time.time()
-        for _ in range(n_rep):
-            s = run_and_read(jf, iq)
+        with ctx:
+            for _ in range(n_rep):
+                s = run_and_read(jf, iq)
         dt = (time.time() - t0) / n_rep
+        if xprof_dir and getattr(ctx, "errors", None):
+            print(f"[{device_kind}] {ctx.errors[0]}", file=sys.stderr)
         ok = float(s[0, 0])
         mbps = ok * grant.tbs / dt / 1e6
         print(f"[{device_kind}] {label}: {dt*1e3:.2f} ms/batch({B}sf) "

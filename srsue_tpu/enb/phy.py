@@ -84,6 +84,11 @@ class EnbPhy:
         self.events: list[str] = []
         self._mcs_data = 6
         self._ul_mcs = 4
+        # closed-loop UL power control: target rx level locked to the
+        # first decoded PUSCH; each UL DCI 0 carries a TPC command
+        # steering the UE back to it (36.213 §5.1.1.1 accumulated mode)
+        self._tpc_rx_target_db: float | None = None
+        self._next_tpc = 1  # index 1 = 0 dB (neutral) until locked
         self.rar_ta = 0  # TA command sent in RARs (the eNB's timing cmd)
         self._ndi = False
         self._ul_ndi = False
@@ -177,7 +182,8 @@ class EnbPhy:
                 # the synchronous HARQ pid is busy until ACK/max-retx.
                 self._ul_ndi = not self._ul_ndi
                 d0 = dci.Dci0(riv=dci.riv_encode(cell.n_prb, 0, 4),
-                              mcs=self._ul_mcs, ndi=self._ul_ndi, tpc=0)
+                              mcs=self._ul_mcs, ndi=self._ul_ndi,
+                              tpc=self._next_tpc)
                 self._ul_grants[tti + MSG3_DELAY] = (
                     dci.dci0_to_grant(cell, d0), 0, False)
                 n_cce, _ = control.pdcch_geometry(cell, CFI)
@@ -373,6 +379,15 @@ class EnbPhy:
                       cqi_due: bool) -> None:
         grant, irv, is_retx = g_entry
         pid = tti % 8
+        # closed-loop TPC: steer the UE's PUSCH rx level back to the
+        # target locked on the first decoded PUSCH (tpc indices per
+        # 36.213 Table 5.1.1.1-2: 0=-1, 1=0, 2=+1, 3=+3 dB)
+        rx_db = 10 * np.log10(float(np.mean(np.abs(samples) ** 2)) + 1e-12)
+        if self._tpc_rx_target_db is None:
+            self._tpc_rx_target_db = rx_db
+        err = self._tpc_rx_target_db - rx_db
+        self._next_tpc = 3 if err > 2.0 else (2 if err > 0.5 else
+                                              (0 if err < -0.5 else 1))
         with_ack = ack_entry is not None
         n_cqi = 4 if cqi_due else 0
         codec = pusch.PuschCodec(

@@ -57,6 +57,15 @@ class EnbStack:
         self.ue_capability: dict | None = None
         self.drb_lcid = 3
         self.ue_ip = "172.16.0.2"
+        # serving-cell identity + AS key state for re-establishment
+        self.pci = 0
+        self.earfcn = 0
+        self.cell_identity = 0x0101
+        self.k_enb: bytes | None = None
+        self.ncc = 0
+        self.nh: bytes | None = None
+        self.reest_ncc = 1  # NCC signalled in Reestablishment (exercises
+        #                     the vertical NH-chain derivation)
 
     # ------------------------------------------------- broadcast
     def make_sib1(self) -> bytes:
@@ -208,6 +217,70 @@ class EnbStack:
             }, tid=0)
             self.srb0.write_sdu(setup)
             self.state = "wait_setup_complete"
+        elif name == "rrcConnectionReestablishmentRequest":
+            self._on_reestablishment_request(body)
+
+    # ---------------------------------------- connection re-establishment
+    def _short_mac_i_expected(self, crnti: int) -> int:
+        from ..rrc import asn1 as A
+        from ..rrc import uper
+
+        data = uper.encode(A.VarShortMAC_Input, {
+            "cellIdentity": self.cell_identity,
+            "physCellId": self.pci,
+            "c_RNTI": crnti,
+        })
+        k_rrc_int = sec.kdf_as(self.k_enb, self.eia, "rrc_int")
+        return int.from_bytes(
+            sec.eia2(k_rrc_int, 0xFFFFFFFF, 0x1F, 1, data)[2:4], "big")
+
+    def _on_reestablishment_request(self, body: dict) -> None:
+        self.events.append("reest_request")
+        ident = body["ue_Identity"]
+        known = (self.k_enb is not None
+                 and ident["c_RNTI"] == self.t_crnti
+                 and ident["physCellId"] == self.pci
+                 and ident["shortMAC_I"]
+                 == self._short_mac_i_expected(ident["c_RNTI"]))
+        if not known:
+            self.events.append("reest_reject")
+            self.srb0.write_sdu(M.pack(
+                "DL-CCCH", "rrcConnectionReestablishmentReject", {}))
+            return
+        # re-key: KeNB* with the signalled NCC (33.401 §7.2.8.4)
+        ncc = self.reest_ncc
+        if ncc <= self.ncc:
+            basis = self.k_enb
+        else:
+            while self.ncc < ncc:
+                self.nh = sec.kdf_nh(self.k_asme, self.nh)
+                self.ncc += 1
+            basis = self.nh
+        self.k_enb = sec.kdf_k_enb_star(basis, self.pci, self.earfcn)
+        # re-establish SRB1 (fresh RLC + PDCP state) under the new keys,
+        # integrity on from the first PDU (36.331 §5.3.7.5)
+        self.srb1 = RlcAm(AmConfig(), write_up=self._on_dcch)
+        pc = PdcpConfig(is_control=True, bearer_id=1,
+                        tx_direction=1, rx_direction=0)
+        self.pdcp1 = PdcpEntity(1, pc, self.srb1.write_sdu,
+                                self._on_dcch_sdu)
+        self.pdcp1.config_security(
+            sec.kdf_as(self.k_enb, self.eea, "rrc_enc"),
+            sec.kdf_as(self.k_enb, self.eia, "rrc_int"),
+        )
+        self.pdcp1.enable_integrity()
+        reest = M.pack("DL-CCCH", "rrcConnectionReestablishment", {
+            "radioResourceConfigDedicated": {
+                "srb_ToAddModList": [{
+                    "srb_Identity": 1,
+                    "rlc_Config": ("defaultValue", None),
+                    "logicalChannelConfig": ("defaultValue", None),
+                }],
+            },
+            "nextHopChainingCount": ncc,
+        }, tid=0)
+        self.srb0.write_sdu(reest)
+        self.state = "wait_reest_complete"
 
     def _on_dcch(self, pdu: bytes) -> None:
         self.pdcp1.write_pdu(pdu)
@@ -242,6 +315,20 @@ class EnbStack:
             self._send_reconfiguration_with_attach_accept()
         elif kind == "rrcConnectionReconfigurationComplete":
             self.reconfig_complete = True
+        elif kind == "rrcConnectionReestablishmentComplete":
+            # resume the user plane: fresh RLC AM entity, but the AM-DRB
+            # PDCP entity KEEPS its COUNTs (36.323 §5.2 — continuity is
+            # covered by the status report) and is rebound to the new RLC;
+            # the reconfiguration below re-adds the DRB on the UE side
+            self.drb = RlcAm(AmConfig(), write_up=self._on_drb_pdu)
+            self.drb_pdcp.rlc_write = self.drb.write_sdu
+            self.state = "attached"
+            msg = M.pack("DL-DCCH", "rrcConnectionReconfiguration", {
+                "radioResourceConfigDedicated": {
+                    "drb_ToAddModList": [self._drb_to_add_mod()],
+                },
+            }, tid=0)
+            self.pdcp1.write_sdu(msg)
 
     # ------------------------------------------------- NAS/MME side
     def _send_dl_info(self, nas_pdu: bytes) -> None:
@@ -297,6 +384,7 @@ class EnbStack:
     def _send_rrc_security_mode(self) -> None:
         # derive AS keys like the UE will (nas ul count snapshot = 0)
         k_enb = sec.kdf_k_enb(self.k_asme, 0)
+        self.k_enb, self.ncc, self.nh = k_enb, 0, k_enb
         self.pdcp1.config_security(
             sec.kdf_as(k_enb, self.eea, "rrc_enc"),
             sec.kdf_as(k_enb, self.eia, "rrc_int"),
@@ -329,39 +417,42 @@ class EnbStack:
         msg = M.pack("DL-DCCH", "rrcConnectionReconfiguration", {
             "dedicatedInfoNASList": [nas_sec],
             "radioResourceConfigDedicated": {
-                "drb_ToAddModList": [{
-                    "eps_BearerIdentity": 5,
-                    "drb_Identity": 1,
-                    "pdcp_Config": {
-                        "discardTimer": "infinity",
-                        "rlc_AM": {"statusReportRequired": False},
-                        "headerCompression": ("notUsed", None),
-                    },
-                    "rlc_Config": ("am", {
-                        "ul_AM_RLC": {
-                            "t_PollRetransmit": "ms45",
-                            "pollPDU": "p64",
-                            "pollByte": "kB500",
-                            "maxRetxThreshold": "t4",
-                        },
-                        "dl_AM_RLC": {
-                            "t_Reordering": "ms35",
-                            "t_StatusProhibit": "ms0",
-                        },
-                    }),
-                    "logicalChannelIdentity": self.drb_lcid,
-                    "logicalChannelConfig": {
-                        "ul_SpecificParameters": {
-                            "priority": 4,
-                            "prioritisedBitRate": "kBps8",
-                            "bucketSizeDuration": "ms100",
-                            "logicalChannelGroup": 2,
-                        },
-                    },
-                }],
+                "drb_ToAddModList": [self._drb_to_add_mod()],
             },
         }, tid=3)
         self.pdcp1.write_sdu(msg)
+
+    def _drb_to_add_mod(self) -> dict:
+        return {
+            "eps_BearerIdentity": 5,
+            "drb_Identity": 1,
+            "pdcp_Config": {
+                "discardTimer": "infinity",
+                "rlc_AM": {"statusReportRequired": False},
+                "headerCompression": ("notUsed", None),
+            },
+            "rlc_Config": ("am", {
+                "ul_AM_RLC": {
+                    "t_PollRetransmit": "ms45",
+                    "pollPDU": "p64",
+                    "pollByte": "kB500",
+                    "maxRetxThreshold": "t4",
+                },
+                "dl_AM_RLC": {
+                    "t_Reordering": "ms35",
+                    "t_StatusProhibit": "ms0",
+                },
+            }),
+            "logicalChannelIdentity": self.drb_lcid,
+            "logicalChannelConfig": {
+                "ul_SpecificParameters": {
+                    "priority": 4,
+                    "prioritisedBitRate": "kBps8",
+                    "bucketSizeDuration": "ms100",
+                    "logicalChannelGroup": 2,
+                },
+            },
+        }
 
     # ------------------------------------------------- transport pump
     def pump(self, ue_rlc, n_rounds: int = 20, grant: int = 1000) -> None:

@@ -300,6 +300,25 @@ class Mac:
     def _on_con_res(self, crid: bytes) -> bool:
         return self.ra.con_res_id_received(crid)
 
+    def reset(self) -> None:
+        """MAC reset (36.321 §5.9, used by RRC re-establishment
+        36.331 §5.3.7.2): flush HARQ buffers, cancel SR/BSR triggers,
+        flush Msg3, discard the temporary C-RNTI, and consider the
+        timeAlignmentTimer expired. The C-RNTI itself is an RRC variable
+        (kept — the re-establishment request carries it)."""
+        self.dl_harq.reset()
+        self.ul_harq.reset()
+        self.mux.msg3_flush()
+        self.ra.reset()
+        self.sr.reset()
+        self.bsr.triggered = False
+        self.bsr.sr_needed = False
+        self.temp_crnti = 0
+        self._deliver_temp_crnti = False
+        self._rar_window = None
+        self.time_alignment_timer.stop()
+        self.ul_time_aligned = False
+
     def get_metrics(self) -> MacMetrics:
         """Interval semantics: zeroed on read (mac.cc:395-400)."""
         m = self.metrics

@@ -172,3 +172,9 @@ class RaProc:
     @property
     def is_running(self) -> bool:
         return self.state not in (RaState.IDLE, RaState.COMPLETION, RaState.RA_PROBLEM)
+
+    def reset(self) -> None:
+        """Abort any ongoing RA (part of MAC reset, 36.321 §5.9)."""
+        self.state = RaState.IDLE
+        self.msg3 = b""
+        self._backoff_cnt = 0

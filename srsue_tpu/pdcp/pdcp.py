@@ -43,10 +43,34 @@ class PdcpEntity:
         self.k_int: bytes | None = None
         self.integrity_active = False
         self.ciphering_active = False
+        self.peer_fms: int | None = None  # last received status report
 
     def config_security(self, k_enc: bytes, k_int: bytes) -> None:
         self.k_enc = k_enc
         self.k_int = k_int
+
+    def reestablish(self) -> None:
+        """PDCP re-establishment (36.323 §5.2): SRBs reset TX/RX COUNT
+        and discard stored SDUs; AM DRBs keep COUNT (continuity is what
+        the status report covers); UM DRBs reset."""
+        if self.cfg.is_control or self.cfg.sn_bits == 7:
+            self.tx_count = 0
+            self.rx_count = 0
+
+    # --- control PDUs (36.323 §6.2.6: PDCP status report) -------------------
+    def make_status_pdu(self) -> bytes:
+        """D/C=0 control PDU, type=0 (status), FMS = first missing SN
+        (12-bit SN DRBs)."""
+        fms = self.rx_count & 0xFFF
+        return bytes([(fms >> 8) & 0x0F, fms & 0xFF])
+
+    def handle_status_pdu(self, pdu: bytes) -> None:
+        fms = ((pdu[0] & 0x0F) << 8) | pdu[1]
+        self.peer_fms = fms
+
+    def send_status(self) -> None:
+        """Send a status report (no SN, not ciphered — control PDU)."""
+        self.rlc_write(self.make_status_pdu())
 
     def enable_integrity(self) -> None:
         self.integrity_active = True
@@ -97,6 +121,9 @@ class PdcpEntity:
             self.rx_count = count + 1
             self.up_write(self.lcid, sdu)
         else:
+            if not pdu[0] & 0x80:  # D/C = 0: control PDU (status report)
+                self.handle_status_pdu(pdu)
+                return
             if self.cfg.sn_bits == 12:
                 sn = ((pdu[0] & 0xF) << 8) | pdu[1]
                 body = pdu[2:]
@@ -160,6 +187,10 @@ class Pdcp:
 
     def enable_integrity(self, lcid: int) -> None:
         self.entities[lcid].enable_integrity()
+
+    def reestablish_bearer(self, lcid: int) -> None:
+        if lcid in self.entities:
+            self.entities[lcid].reestablish()
 
     def enable_ciphering(self, lcid: int) -> None:
         self.entities[lcid].enable_ciphering()

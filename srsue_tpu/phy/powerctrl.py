@@ -49,8 +49,11 @@ class UlPower:
         return float(min(self.cfg.p_max_dbm, target_rx_dbm + pathloss_db))
 
     def headroom_db(self, n_prb: int, pathloss_db: float) -> float:
-        """Power headroom for the PHR CE (36.133 §9.1.8.4 range)."""
-        return float(np.clip(
-            self.cfg.p_max_dbm - self.pusch_power_dbm(n_prb, pathloss_db),
-            -23.0, 40.0,
-        ))
+        """REAL power headroom P_max - P_pusch (phch_worker.cc get_phr
+        semantics). Unclamped: the 36.133 §9.1.8.4 [-23, 40] range is a
+        property of the PHR CE *encoding* and is applied by
+        mac.procs.PhrProc.generate_phr's level mapping, not here —
+        clamping at the source would freeze the report at the ceiling
+        and hide real pathloss changes from the trigger logic."""
+        return float(self.cfg.p_max_dbm
+                     - self.pusch_power_dbm(n_prb, pathloss_db))

@@ -48,6 +48,11 @@ class Receiver:
         self._bad_count = 0
         self._slip_total = 0
         self._slip_elapsed_sf = 0
+        # per-subframe in-sync/out-of-sync indication hook (fed to the
+        # RRC radio-link-failure monitor, 36.331 §5.3.11.1: rrc.on_in_sync
+        # / rrc.on_out_of_sync); called with True when sync quality is
+        # above the loss threshold
+        self.on_sync_status = None
 
     # ------------------------------------------------- timing/quality track
     def _timing_update(self, iq_np: np.ndarray, cell: Cell) -> float:
@@ -229,6 +234,8 @@ class Receiver:
                 self.state = "CELL_SEARCH"
                 return
             quality = self._timing_update(np.asarray(raw), cell)
+            if self.on_sync_status is not None:
+                self.on_sync_status(quality >= self.SYNC_LOSS_THRESHOLD)
             if quality < self.SYNC_LOSS_THRESHOLD:
                 self._bad_count += 1
                 if self._bad_count >= self.SYNC_LOSS_COUNT:

@@ -46,10 +46,11 @@ from . import turbo
 LANES = 128
 SUBLANES = 8  # one native (8,128) f32 VPU tile per op (16 measured worse)
 TILE = SUBLANES * LANES  # windows per grid step
-NORM_EVERY = 8  # steps between state-0 renormalizations: drift is bounded
-#                by NORM_EVERY * max|gamma| ~ 8 * 0.5*(|Lin|+|Par|); with
-#                saturated filler LLRs (1e4) that is ~1e5, where f32 still
-#                resolves ~0.01 absolute — far below the working LLR scale.
+# steps between state-0 renormalizations (env-tunable for on-device A/B).
+# Drift is bounded by NORM_EVERY * max|gamma| ~ 8 * 0.5*(|Lin|+|Par|); with
+# saturated filler LLRs (1e4) that is ~1e5, where f32 still resolves ~0.01
+# absolute — far below the working LLR scale.
+NORM_EVERY = int(os.environ.get("SRSUE_TPU_TURBO_NORM_EVERY", "8"))
 _NEG = -1e9
 
 
@@ -273,29 +274,15 @@ def untile_windows(y, d, T, n):
             .transpose(0, 2, 3, 1).reshape(n, d))
 
 
-def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
-                         unroll: bool | None = None,
-                         par_is_tiled: bool = False):
-    """[n, lw] window-major inputs -> (ext [n, lw], alpha_last [n, 8],
-    beta_first [n, 8]) where n = number of (block, window) pairs, padded
-    by the caller to a multiple of TILE (=1024).
-
-    Window w rides (tile w//1024, sublane (w%1024)//128, lane w%128).
-    unroll defaults to the compiled-path choice (True unless interpret);
-    tests override it to pin both kernel forms against each other.
-    """
+def half_tiled(lin_t, par_t, a0_t, b0_t, lw: int,
+               interpret: bool = False, unroll: bool | None = None):
+    """Fully-tiled half-iteration: all operands/results stay in the VPU
+    tile layout ([T*lw, 8, 128] streams, [T*8, 8, 128] boundaries) — the
+    zero-transpose entry point used by the tiled iteration loop."""
     if unroll is None:
         unroll = not interpret
-    n = lin.shape[0]
-    assert n % TILE == 0, f"pad window count to {TILE}: {n}"
     assert lw % NORM_EVERY == 0, f"window {lw} % {NORM_EVERY} != 0"
-    T = n // TILE
-
-    def to_tiles(x, d):
-        return tile_windows(x, d, T)
-
-    def from_tiles(y, d):
-        return untile_windows(y, d, T, n)
+    T = lin_t.shape[0] // lw
 
     grid = (T,)
     spec_lw = pl.BlockSpec((lw, SUBLANES, LANES), lambda i: (i, 0, 0),
@@ -316,7 +303,7 @@ def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
     else:
         kernel = functools.partial(_half_kernel, unroll=unroll)
         scratch = [pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32)]
-    ext, alast, bfirst = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec_lw, spec_lw, spec_8, spec_8],
@@ -328,8 +315,34 @@ def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(to_tiles(lin, lw), par if par_is_tiled else to_tiles(par, lw),
-      to_tiles(a0, 8), to_tiles(b0, 8))
+    )(lin_t, par_t, a0_t, b0_t)
+
+
+def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
+                         unroll: bool | None = None,
+                         par_is_tiled: bool = False):
+    """[n, lw] window-major inputs -> (ext [n, lw], alpha_last [n, 8],
+    beta_first [n, 8]) where n = number of (block, window) pairs, padded
+    by the caller to a multiple of TILE (=1024).
+
+    Window w rides (tile w//1024, sublane (w%1024)//128, lane w%128).
+    unroll defaults to the compiled-path choice (True unless interpret);
+    tests override it to pin both kernel forms against each other.
+    """
+    n = lin.shape[0]
+    assert n % TILE == 0, f"pad window count to {TILE}: {n}"
+    T = n // TILE
+
+    def to_tiles(x, d):
+        return tile_windows(x, d, T)
+
+    def from_tiles(y, d):
+        return untile_windows(y, d, T, n)
+
+    ext, alast, bfirst = half_tiled(
+        to_tiles(lin, lw), par if par_is_tiled else to_tiles(par, lw),
+        to_tiles(a0, 8), to_tiles(b0, 8), lw,
+        interpret=interpret, unroll=unroll)
     return from_tiles(ext, lw), from_tiles(alast, 8), from_tiles(bfirst, 8)
 
 
@@ -495,6 +508,18 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
     # big carries every step (measured +10 ms/iteration at the flagship
     # shape on v5e; unrolled: 5.3 ms/iteration ~= kernel cost). Hard
     # decision + CRC happen ONCE at the end.
+    if os.environ.get("SRSUE_TPU_TURBO_TILED", "0") == "1":
+        # Experimental tiled iteration loop (decode_forced_tiled):
+        # everything stays in the VPU tile layout and the QPP interleave
+        # + window tiling collapse into one composed-index gather per
+        # half. MEASURED SLOWER on v5e (3608 vs ~97 ms/batch at the
+        # flagship shape): XLA:TPU lowers a flat 20M-arbitrary-index
+        # gather to a near-scalar loop (~220 ms per gather), while the
+        # window-linear form below gathers with a [K] index broadcast
+        # over blocks, which lowers to an efficient minor-dim gather.
+        # Kept env-gated as the measurement record + layout reference.
+        return decode_forced_tiled(d_llrs, k, n_iters, crc_mat=crc_mat,
+                                   window=window, interpret=interpret)
     le21 = init[0]
     le12 = init[0]
     ab1 = bb1 = ab2 = bb2 = zb
@@ -511,5 +536,167 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
     post = sys1 + le12 + le21
     hard = (post < 0).astype(jnp.uint8)
     ok = crc_ok_of(hard)
+    iters_used = jnp.full((B,), n_iters, jnp.int32)
+    return hard, iters_used, ok
+
+
+# ---------------------------------------------------------------------------
+# Tiled iteration loop (forced-iteration path)
+# ---------------------------------------------------------------------------
+#
+# The per-half glue of the window-linear loop — tile/untile transposes of
+# the [n, lw] streams plus the [B, K] interleaver gathers — costs ~1.7 ms
+# per iteration at the flagship shape (measured: 7.0 ms/iter total in
+# tools/profile_chain.py vs 5.3 ms/iter kernel-only in
+# tools/bench_kernel_variants.py). Keeping every iteration-carried array
+# in the tile layout removes the transposes entirely; the QPP interleave
+# composed with the tile layout becomes a single precomputed flat-index
+# gather per half, and the window-boundary chaining (alpha from window
+# w-1, beta from w+1, known terminal states at block edges) becomes a
+# small gather + select on the [T*8, 8, 128] boundary arrays.
+
+
+def _tiled_maps(B: int, K: int, lw: int):
+    """Index/mask tables for the tiled loop at one (blocks, K, window)
+    bucket, computed ON DEVICE from iota arithmetic. A precomputed numpy
+    table would be ~80 MB of int32 per interleave direction; embedding
+    that as an HLO constant blows up the serialized module (the axon
+    relay rejects the compile request outright with HTTP 413). Only the
+    [K]-sized QPP tables are constants; everything else is a handful of
+    elementwise integer ops over an iota, loop-invariant and CSE'd across
+    the unrolled iterations."""
+    W = K // lw
+    n = B * W
+    T = -(-n // TILE)
+    n_pad = T * TILE
+
+    perm = turbo.qpp_perm(K).astype(np.int32)
+    inv = turbo.qpp_inv(K).astype(np.int32)
+
+    def flat_stream(w, jmod):
+        return ((w // TILE) * lw + jmod) * TILE + (w % TILE)
+
+    size_s = T * lw * TILE
+
+    def stream_gather_idx(table_np):
+        """For each flat tiled OUTPUT position p (natural bit (b, jj)),
+        the flat tiled INPUT position of bit (b, table[jj])."""
+        p = jnp.arange(size_s, dtype=jnp.int32)
+        row = p // TILE
+        col = p % TILE
+        w = (row // lw) * TILE + col
+        t = row % lw
+        bblk = w // W
+        jj = (w % W) * lw + t
+        j = jnp.asarray(table_np)[jj % K]  # pad region: harmless wrap
+        return flat_stream(bblk * W + j // lw, j % lw)
+
+    # boundary arrays: [T*8, 8, 128] viewed 1-D
+    size_b = T * 8 * TILE
+
+    def bnd_expr():
+        p = jnp.arange(size_b, dtype=jnp.int32)
+        row = p // TILE
+        col = p % TILE
+        w = (row // 8) * TILE + col
+        s = row % 8
+        return p, w, s
+
+    def flat_b(w, s):
+        return ((w // TILE) * 8 + s) * TILE + (w % TILE)
+
+    bshape = (T * 8, SUBLANES, LANES)
+    sshape = (T * lw, SUBLANES, LANES)
+
+    def build():
+        g12 = stream_gather_idx(perm)
+        g21 = stream_gather_idx(inv)
+        _, w, s = bnd_expr()
+        ga = flat_b(jnp.maximum(w - 1, 0), s)
+        gb = flat_b(jnp.minimum(w + 1, n_pad - 1), s)
+        first_m = ((w % W) == 0).reshape(bshape)
+        last_m = ((w % W) == W - 1).reshape(bshape)
+        known0 = jnp.where(s == 0, 0.0, _NEG).astype(
+            jnp.float32).reshape(bshape)
+        return g12, g21, ga, gb, first_m, last_m, known0
+
+    return dict(T=T, n=n, n_pad=n_pad, W=W, build=build,
+                sshape=sshape, bshape=bshape)
+
+
+def _tile_padded(x, d: int, T: int, n: int):
+    n_pad = T * TILE
+    if n_pad > n:
+        x = jnp.concatenate([x, jnp.zeros((n_pad - n, d), x.dtype)])
+    return tile_windows(x, d, T)
+
+
+def decode_forced_tiled(d_llrs, k: int, n_iters: int, crc_mat=None,
+                        window: int = 64, interpret: bool = False):
+    """Forced-iteration turbo decode with the iteration loop entirely in
+    the VPU tile layout (same contract as the forced path of decode())."""
+    assert k % window == 0
+    B = d_llrs.shape[0]
+    W = k // window
+    n = B * W
+    m = _tiled_maps(B, k, window)
+    T = m["T"]
+
+    perm = jnp.asarray(turbo.qpp_perm(k))
+    sys1 = d_llrs[:, 0, :k]
+    par1 = d_llrs[:, 1, :k]
+    par2 = d_llrs[:, 2, :k]
+    t = d_llrs[:, :, k : k + 4]
+    tail1_sys = jnp.stack([t[:, 0, 0], t[:, 2, 0], t[:, 1, 1]], axis=1)
+    tail1_par = jnp.stack([t[:, 1, 0], t[:, 0, 1], t[:, 2, 1]], axis=1)
+    tail2_sys = jnp.stack([t[:, 0, 2], t[:, 2, 2], t[:, 1, 3]], axis=1)
+    tail2_par = jnp.stack([t[:, 1, 2], t[:, 0, 3], t[:, 2, 3]], axis=1)
+
+    sys1_t = _tile_padded(sys1.reshape(n, window), window, T, n)
+    sys2_t = _tile_padded(sys1[:, perm].reshape(n, window), window, T, n)
+    par1_t = pretile_par(par1, window)
+    par2_t = pretile_par(par2, window)
+
+    def tail_tiled(ts, tp):
+        bt = turbo._tail_beta(ts, tp, B)  # [B, 8]
+        lin = jnp.zeros((B, W, 8), jnp.float32).at[:, W - 1, :].set(bt)
+        return _tile_padded(lin.reshape(n, 8), 8, T, n)
+
+    bt1_t = tail_tiled(tail1_sys, tail1_par)
+    bt2_t = tail_tiled(tail2_sys, tail2_par)
+
+    g12, g21, ga, gb, first_m, last_m, known0 = m["build"]()
+    sshape, bshape = m["sshape"], m["bshape"]
+
+    def gs(x_t, g):
+        return x_t.reshape(-1)[g].reshape(sshape)
+
+    def gbnd(x_t, g):
+        return x_t.reshape(-1)[g].reshape(bshape)
+
+    zb = jnp.zeros(bshape, jnp.float32)
+    ext1_t = ext2_t = None
+    alast1 = bfirst1 = alast2 = bfirst2 = zb
+    for i in range(n_iters):
+        lin1_t = sys1_t if i == 0 else sys1_t + gs(ext2_t, g21)
+        a0 = jnp.where(first_m, known0, gbnd(alast1, ga))
+        b0 = jnp.where(last_m, bt1_t, gbnd(bfirst1, gb))
+        ext1_t, alast1, bfirst1 = half_tiled(
+            lin1_t, par1_t, a0, b0, window, interpret=interpret)
+        lin2_t = sys2_t + gs(ext1_t, g12)
+        a0 = jnp.where(first_m, known0, gbnd(alast2, ga))
+        b0 = jnp.where(last_m, bt2_t, gbnd(bfirst2, gb))
+        ext2_t, alast2, bfirst2 = half_tiled(
+            lin2_t, par2_t, a0, b0, window, interpret=interpret)
+
+    post_t = sys1_t + ext1_t + gs(ext2_t, g21)
+    post = untile_windows(post_t, window, T, T * TILE)[:n].reshape(B, k)
+    hard = (post < 0).astype(jnp.uint8)
+    if crc_mat is None:
+        ok = jnp.zeros((B,), bool)
+    else:
+        crc_m = jnp.asarray(crc_mat.astype(np.float32))
+        syn = jnp.mod(jnp.round(hard.astype(jnp.float32) @ crc_m), 2.0)
+        ok = jnp.sum(syn, axis=-1) == 0
     iters_used = jnp.full((B,), n_iters, jnp.int32)
     return hard, iters_used, ok

@@ -6,3 +6,4 @@ replays captures / generated waveforms; ArrayRadio serves in-memory
 subframes (the test path)."""
 
 from .radio import ArrayRadio, FileRadio, Radio
+from .socket_radio import IqPeer, SocketRadio

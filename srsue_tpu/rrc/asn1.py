@@ -1017,3 +1017,18 @@ UL_DCCH_Message = Seq(("message", Choice(
     )),
     ("messageClassExtension", Seq()),
 )))
+
+# --------------------------------------------------------------------------
+# UE variables (36.331 §7.4) — UPER-encoded KDF inputs
+# --------------------------------------------------------------------------
+
+# VarShortMAC-Input: the shortMAC-I derivation input for connection
+# re-establishment (36.331 §5.3.7.4): cellIdentity of the current cell,
+# physCellId of the PCell the trigger occurred in, and the C-RNTI held
+# in that cell. Encoded with UPER and MAC'd with the *old* K_RRCint
+# (COUNT/BEARER/DIRECTION all binary ones).
+VarShortMAC_Input = Seq(
+    ("cellIdentity", BitStr(28)),
+    ("physCellId", Int(0, 503)),
+    ("c_RNTI", C_RNTI),
+)

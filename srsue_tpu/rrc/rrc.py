@@ -64,6 +64,7 @@ class RrcState(Enum):
     WAIT_CON_SETUP = auto()
     COMPLETING_SETUP = auto()
     CONNECTED = auto()
+    WAIT_CON_REESTABLISH = auto()
 
 
 class Rrc:
@@ -84,6 +85,19 @@ class Rrc:
         self.eea = 0
         self.eia = 2
         self.connected_cb = None
+        self.security_activated = False
+        # serving-cell identity for re-establishment (set by PHY/tests)
+        self.pci = 0
+        self.earfcn = 0
+        # radio-link-failure monitor (36.331 §5.3.11 / SIB2
+        # ue-TimersAndConstants; counters stepped by the per-subframe
+        # in-sync/out-of-sync indications from the PHY receiver)
+        self.n310 = 1
+        self.t310_ms = 1000
+        self.n311 = 1
+        self._oos_count = 0
+        self._t310_left = -1  # -1 = not running
+        self._is_count = 0
 
     # ------------------------------------------------------------- kickoff
     def connect(self) -> None:
@@ -219,6 +233,12 @@ class Rrc:
                 freq_offset=info["prach_FreqOffset"],
                 config_index=info["prach_ConfigIndex"],
             )
+        tc = sib2.get("ue_TimersAndConstants")
+        if tc:
+            # RLF monitor constants (36.331 §5.3.11.1): nN -> N, msN -> N
+            self.n310 = int(str(tc.get("n310", "n1"))[1:])
+            self.n311 = int(str(tc.get("n311", "n1"))[1:])
+            self.t310_ms = _ie_ms(tc.get("t310"), 1000)
         if self.phy is not None and hasattr(self.phy, "configure_ul_params"):
             self.phy.configure_ul_params(sib2)
 
@@ -251,6 +271,15 @@ class Rrc:
             self.handle_con_setup(body, tid)
         elif name == "rrcConnectionReject":
             self.state = RrcState.IDLE
+        elif name == "rrcConnectionReestablishment":
+            self.handle_con_reestablishment(body, tid)
+        elif name == "rrcConnectionReestablishmentReject":
+            # 36.331 §5.3.7.8: leave RRC_CONNECTED (-> idle, NAS recovers
+            # with a fresh attach)
+            self.state = RrcState.IDLE
+            self.security_activated = False
+            if self.nas is not None and hasattr(self.nas, "connection_lost"):
+                self.nas.connection_lost()
 
     @staticmethod
     def _lc_priority(item: dict, default: int) -> int:
@@ -321,6 +350,7 @@ class Rrc:
                 self.usim.keys["rrc_enc"], self.usim.keys["rrc_int"]
             )
         self.pdcp.enable_integrity(1)
+        self.security_activated = True
         msg = M.pack("UL-DCCH", "securityModeComplete", {}, tid=tid)
         self.pdcp.write_sdu(1, msg)
 
@@ -412,6 +442,16 @@ class Rrc:
         msg = M.pack("UL-DCCH", "rrcConnectionReconfigurationComplete", {},
                      tid=tid)
         self.pdcp.write_sdu(1, msg)
+        if getattr(self, "_reestablishing", False):
+            # 36.323 §5.3.1: on AM-DRB resume after re-establishment,
+            # report rx status (FMS) so the peer can discard/retransmit
+            self._reestablishing = False
+            for drb in rrcd.get("drb_ToAddModList") or []:
+                lcid = drb.get("logicalChannelIdentity") or (
+                    2 + drb["drb_Identity"])
+                ent = self.pdcp.entities.get(lcid)
+                if ent is not None and not ent.cfg.is_control:
+                    ent.send_status()
 
     # ----------------------------------------------- NAS uplink transport
     def write_sdu_nas(self, nas_pdu: bytes) -> None:
@@ -420,6 +460,118 @@ class Rrc:
         })
         self.pdcp.write_sdu(1, msg)
 
+    # ----------------------------------------------- connection re-establishment
+    # Capability-plus: the reference leaves re-establishment explicitly
+    # unhandled (rrc.cc:459-464 "Connection riestablishment not
+    # supported"); this implements 36.331 §5.3.7 + §5.3.11.
+
+    def radio_link_failure(self, cause: str = "otherFailure") -> None:
+        """36.331 §5.3.11.3: on RLF, start re-establishment if AS
+        security is active, else leave RRC_CONNECTED."""
+        self._t310_left = -1
+        self._oos_count = 0
+        if self.state != RrcState.CONNECTED or not self.security_activated:
+            self.state = RrcState.IDLE
+            return
+        self.reestablish(cause)
+
+    def reestablish(self, cause: str = "otherFailure") -> None:
+        """§5.3.7.2-4: suspend RBs, reset MAC, send the re-establishment
+        request (carrying C-RNTI + PCI + shortMAC-I) over a fresh RA."""
+        crnti = self.mac.crnti if self.mac is not None else 0
+        short_mac = self.short_mac_i(crnti)
+        if self.mac is not None and hasattr(self.mac, "reset"):
+            self.mac.reset()
+        if self.rlc is not None:
+            self.rlc.reestablish()
+        self.state = RrcState.WAIT_CON_REESTABLISH
+        msg = M.pack("UL-CCCH", "rrcConnectionReestablishmentRequest", {
+            "ue_Identity": {
+                "c_RNTI": crnti,
+                "physCellId": self.pci,
+                "shortMAC_I": short_mac,
+            },
+            "reestablishmentCause": cause,
+            "spare": 0,
+        })
+        self.mac.start_ra(msg)
+
+    def short_mac_i(self, crnti: int) -> int:
+        """§5.3.7.4: 16 LSBs of EIA(K_RRCint_old, COUNT/BEARER/DIRECTION
+        all ones, UPER(VarShortMAC-Input))."""
+        from . import asn1 as A
+        from . import uper
+        from ..usim import security as sec
+
+        cell_id = 0
+        if self.sib1 is not None:
+            cell_id = self.sib1["cellAccessRelatedInfo"]["cellIdentity"]
+        data = uper.encode(A.VarShortMAC_Input, {
+            "cellIdentity": cell_id,
+            "physCellId": self.pci,
+            "c_RNTI": crnti,
+        })
+        key = (self.usim.keys.get("rrc_int", bytes(16))
+               if self.usim is not None else bytes(16))
+        mac = sec.eia2(key, 0xFFFFFFFF, 0x1F, 1, data)
+        return int.from_bytes(mac[2:4], "big")
+
+    def handle_con_reestablishment(self, body: dict, tid: int) -> None:
+        """§5.3.7.5: re-establish PDCP+RLC for SRB1, re-key with K_eNB*
+        per nextHopChainingCount, resume SRB1, send Complete. DRBs
+        resume via the follow-up reconfiguration (§5.3.7.5 note)."""
+        if self.state != RrcState.WAIT_CON_REESTABLISH:
+            return
+        rrcd = body["radioResourceConfigDedicated"]
+        prio = 1
+        for srb in rrcd.get("srb_ToAddModList") or []:
+            if srb["srb_Identity"] == 1:
+                prio = self._lc_priority(srb, 1)
+        self.rlc.add_bearer_default_srb(1)   # fresh entity = re-establish
+        self.pdcp.add_bearer(1)              # no-op if present...
+        self.pdcp.reestablish_bearer(1)      # ...SRB COUNTs reset (36.323 §5.2)
+        self._reestablishing = True          # DRB resume sends a PDCP status
+        if self.mac is not None and hasattr(self.mac, "mux"):
+            self.mac.mux.set_priority(1, priority=prio, pbr_bytes_per_tti=-1)
+        ncc = body.get("nextHopChainingCount", 0)
+        if self.usim is not None and self.usim.k_enb is not None:
+            self.usim.refresh_as_keys(self.pci, self.earfcn, ncc,
+                                      self.eea, self.eia)
+            self.pdcp.config_security_all(
+                self.usim.keys["rrc_enc"], self.usim.keys["rrc_int"])
+        self.pdcp.enable_integrity(1)
+        msg = M.pack("UL-DCCH", "rrcConnectionReestablishmentComplete", {},
+                     tid=tid)
+        self.pdcp.write_sdu(1, msg)
+        self.state = RrcState.CONNECTED
+
+    # -------- radio-link monitoring (§5.3.11.1-2; counters are stepped
+    # by per-subframe sync-quality indications from the receiver)
+    def on_out_of_sync(self) -> None:
+        if self.state != RrcState.CONNECTED:
+            return
+        if self._t310_left >= 0:
+            self._t310_left -= 1
+            if self._t310_left < 0:
+                self.radio_link_failure("otherFailure")
+            return
+        self._is_count = 0
+        self._oos_count += 1
+        if self._oos_count >= self.n310:
+            self._t310_left = self.t310_ms  # T310 started
+            self._oos_count = 0
+
+    def on_in_sync(self) -> None:
+        if self._t310_left >= 0:
+            self._is_count += 1
+            if self._is_count >= self.n311:
+                self._t310_left = -1  # T310 stopped: recovered
+                self._is_count = 0
+        else:
+            self._oos_count = 0
+
     def max_retx_attempted(self) -> None:
-        """RLC AM gave up (rrc.cc:194-197 TODO in the reference): go IDLE."""
-        self.state = RrcState.IDLE
+        """RLC AM gave up. The reference leaves this TODO and the UE
+        stuck (rrc.cc:194-197); 36.331 §5.3.11.3 says RLF -> initiate
+        re-establishment."""
+        self.radio_link_failure("otherFailure")

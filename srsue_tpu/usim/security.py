@@ -43,6 +43,19 @@ def kdf_k_enb(k_asme: bytes, nas_count: int) -> bytes:
     return kdf(k_asme, 0x11, nas_count.to_bytes(4, "big"))
 
 
+def kdf_nh(k_asme: bytes, sync_input: bytes) -> bytes:
+    """A.4: NH derivation. sync_input = initial K_eNB for NH(1), the
+    previous NH for NH(i>1) — the vertical key-chaining input used at
+    handover/re-establishment (33.401 §7.2.8)."""
+    return kdf(k_asme, 0x12, sync_input)
+
+
+def kdf_k_enb_star(key: bytes, pci: int, earfcn_dl: int) -> bytes:
+    """A.5: K_eNB* from current K_eNB (horizontal, NCC unchanged) or NH
+    (vertical, NCC increased) + target PCI + DL EARFCN."""
+    return kdf(key, 0x13, pci.to_bytes(2, "big"), earfcn_dl.to_bytes(2, "big"))
+
+
 def kdf_nas(k_asme: bytes, alg_id: int, is_integrity: bool) -> bytes:
     dist = 0x02 if is_integrity else 0x01
     return kdf(k_asme, 0x15, bytes([dist]), bytes([alg_id]))[16:]

@@ -95,7 +95,33 @@ class Usim:
     def generate_as_keys(self, nas_count: int, eea: int, eia: int) -> None:
         assert self.k_asme is not None
         self.k_enb = sec.kdf_k_enb(self.k_asme, nas_count)
+        # 33.401 §7.2.8: the initial K_eNB is associated with NCC=0 and
+        # the NH chain starts from it
+        self.ncc = 0
+        self.nh = self.k_enb
+        self._derive_algo_keys(eea, eia)
+
+    def _derive_algo_keys(self, eea: int, eia: int) -> None:
         self.keys["rrc_enc"] = sec.kdf_as(self.k_enb, eea, "rrc_enc")
         self.keys["rrc_int"] = sec.kdf_as(self.k_enb, eia, "rrc_int")
         self.keys["up_enc"] = sec.kdf_as(self.k_enb, eea, "up_enc")
         self.keys["up_int"] = sec.kdf_as(self.k_enb, eia, "up_int")
+
+    def refresh_as_keys(self, pci: int, earfcn_dl: int, ncc: int,
+                        eea: int, eia: int) -> None:
+        """K_eNB* re-keying at re-establishment/handover (33.401 §7.2.8.4,
+        36.331 §5.3.7.5): horizontal derivation from the current K_eNB
+        when the signalled nextHopChainingCount equals the current NCC,
+        vertical from the NH chain when it is larger."""
+        assert self.k_asme is not None and self.k_enb is not None
+        if ncc <= self.ncc:
+            basis = self.k_enb  # horizontal: same (or stale) NCC
+        else:
+            # vertical: step the NH chain NH(i) = KDF(K_ASME, NH(i-1)),
+            # seeded from the initial K_eNB, up to the signalled NCC
+            while self.ncc < ncc:
+                self.nh = sec.kdf_nh(self.k_asme, self.nh)
+                self.ncc += 1
+            basis = self.nh
+        self.k_enb = sec.kdf_k_enb_star(basis, pci, earfcn_dl)
+        self._derive_algo_keys(eea, eia)

@@ -62,3 +62,56 @@ class StageTimer:
     def __exit__(self, *exc):
         self.trace.push(self.tti, (time.perf_counter() - self.t0) * 1e6)
         return False
+
+
+class XlaTrace:
+    """Device-level profiling via the XLA profiler (jax.profiler) — the
+    TPU-native upgrade of the reference's wall-clock exec-time traces
+    (phch_worker.cc:865-887): captures per-HLO device timelines viewable
+    in TensorBoard / xprof instead of host-side gettimeofday deltas.
+
+    with XlaTrace("/tmp/xprof"): run_jitted_things()
+
+    No-ops gracefully (with a warning pushed to `errors`) if the backend
+    or runtime lacks profiler support — e.g. the axon relay in this
+    environment, where the CPU-side trace still records host spans.
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+        self.active = False
+        self.errors: list[str] = []
+
+    def __enter__(self):
+        try:
+            import jax
+
+            jax.profiler.start_trace(self.logdir)
+            self.active = True
+        except Exception as e:  # profiler unsupported on this runtime
+            self.errors.append(f"xla profiler unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+            except Exception as e:
+                self.errors.append(f"xla profiler stop failed: {e}")
+            self.active = False
+        return False
+
+
+def annotate(name: str):
+    """Named host span visible in XLA profiler timelines
+    (jax.profiler.TraceAnnotation), falling back to a null context."""
+    try:
+        import jax
+
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:
+        import contextlib
+
+        return contextlib.nullcontext()

@@ -27,6 +27,15 @@ jax.config.update("jax_enable_x64", False)
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
+# Persistent on-disk compilation cache: with the aggressive clear_caches
+# below (see fixture), re-JITs of shared stages become deserializations
+# instead of full LLVM compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SRSUE_TEST_JAX_CACHE", "/tmp/srsue_test_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # ---------------------------------------------------------------------------
 # XLA:CPU's JIT accumulates loaded executables per process; past a few
@@ -39,7 +48,11 @@ assert len(jax.devices()) == 8
 import pytest  # noqa: E402
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(autouse=True)
 def _bound_xla_cpu_executable_memory():
+    # function-scoped since r3: a single OTA module's compilations can
+    # exceed the code-memory budget on small hosts (observed segfault in
+    # backend_compile inside tests/test_harq_ota.py standalone); the
+    # persistent cache configured above keeps the recompile cost low.
     yield
     jax.clear_caches()

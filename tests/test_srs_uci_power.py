@@ -90,5 +90,12 @@ def test_tpc_accumulation():
 
 def test_headroom_range():
     p = UlPower()
+    # headroom_db is the REAL headroom (unclamped); the 36.133 [-23,40]
+    # CE range is applied by PhrProc.generate_phr's level mapping
     assert -23 <= p.headroom_db(100, 130) <= 40
-    assert p.headroom_db(1, 30) == 40  # clipped top
+    assert p.headroom_db(1, 30) > 40  # real headroom, beyond CE ceiling
+    from srsue_tpu.mac.procs import PhrProc
+
+    phr = PhrProc()
+    phr.triggered = True
+    assert phr.generate_phr(p.headroom_db(1, 30)) == 63  # CE clamps

@@ -117,3 +117,32 @@ def test_forced_path_decodes():
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(h), payloads)
     np.testing.assert_array_equal(np.asarray(it), np.full(2, 4))
+
+
+def test_tiled_forced_path_matches_window_linear(monkeypatch):
+    """The tiled iteration loop (decode_forced_tiled: zero per-iteration
+    transposes, composed-index interleave gathers) is numerically
+    identical to the window-linear forced loop."""
+    k = 512
+    rng = np.random.default_rng(11)
+    payloads, llrs, m = _make(k, 3, 1.0, rng)
+    d = jnp.asarray(llrs)
+
+    monkeypatch.setenv("SRSUE_TPU_TURBO_TILED", "0")
+    h_ref, it_ref, ok_ref = turbo_pallas.decode(
+        d, k, 3, crc_mat=m, window=64, early_exit=False, interpret=True)
+    h_til, it_til, ok_til = turbo_pallas.decode_forced_tiled(
+        d, k, 3, crc_mat=m, window=64, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(h_til), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(ok_til), np.asarray(ok_ref))
+    np.testing.assert_array_equal(np.asarray(it_til), np.asarray(it_ref))
+    assert np.asarray(ok_til).all()
+    np.testing.assert_array_equal(np.asarray(h_til), payloads)
+
+    # and the env-gated dispatch through decode() agrees too
+    monkeypatch.setenv("SRSUE_TPU_TURBO_TILED", "1")
+    h_dft, _, ok_dft = turbo_pallas.decode(
+        d, k, 3, crc_mat=m, window=64, early_exit=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_dft), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(ok_dft), np.asarray(ok_ref))

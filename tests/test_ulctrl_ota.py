@@ -36,6 +36,12 @@ def test_cqi_srs_power_over_the_air():
     phy.configure_srs(srs_idx, srs_prb)
     enb.cqi_cfg = (cqi_idx, n_pucch_cqi)
     enb.srs_cfg = (srs_idx, srs_prb)
+    # reports produced during attach under the INITIAL dedicated config
+    # (cqi-pmi-ConfigIndex 40: period 40, offset 3) are valid but belong
+    # to the old schedule — judge only the reconfigured one. (Whether any
+    # exist depends on how many TTIs attach took, which can shift by a
+    # HARQ retx.)
+    enb.cqi_reports.clear()
 
     pl_db = 6.0
     g = 10 ** (-pl_db / 20)  # channel amplitude attenuation both ways
@@ -67,15 +73,19 @@ def test_cqi_srs_power_over_the_air():
         assert srsmod.ue_srs_subframe(srs_idx, tti)
     assert phy.metrics["srs_tx"] >= 1
 
-    # --- power control: pathloss measured, PUSCH power raised by
-    # alpha*PL, headroom reduced by alpha*PL
+    # --- power control: pathloss measured; headroom drops by at least
+    # the open-loop term alpha*PL, and by at most full PL compensation
+    # (the eNB's closed-loop TPC tops up the fractional-alpha gap
+    # (1-alpha)*PL over the phase)
     assert abs(phy.pathloss_db - pl_db) < 1.5, phy.pathloss_db
     phr_after = phy.get_headroom_db()
     alpha = phy.ul_power.cfg.alpha
-    assert abs((phr_before - phr_after) - alpha * pl_db) < 1.5, (
-        phr_before, phr_after)
-    # UE-side transmit power (pre-channel) rose by ~alpha*PL in dB
-    if pusch_p["clear"] and pusch_p["atten"]:
-        gain_db = 10 * np.log10(np.mean(pusch_p["atten"])
-                                / np.mean(pusch_p["clear"]))
-        assert abs(gain_db - alpha * pl_db) < 1.5, gain_db
+    drop = phr_before - phr_after
+    assert alpha * pl_db - 1.5 < drop < pl_db + 1.5, (phr_before, phr_after)
+    # UE-side transmit power (pre-channel) rose by alpha*PL..PL in dB.
+    # Compare END-of-phase transmissions: phase means are depressed by
+    # the closed-loop transient (TPC still stepping at phase start).
+    if len(pusch_p["clear"]) >= 2 and len(pusch_p["atten"]) >= 2:
+        gain_db = 10 * np.log10(np.mean(pusch_p["atten"][-2:])
+                                / np.mean(pusch_p["clear"][-2:]))
+        assert alpha * pl_db - 1.5 < gain_db < pl_db + 1.5, gain_db
