@@ -266,6 +266,13 @@ class Receiver:
         while produced < n_subframes:
             found = self.cell_search()
             if found is None:
+                # no sync over the scanned frames: keep the RRC
+                # radio-link monitor clocked (the reference's PHY reports
+                # out-of-sync every frame while unsynced) — one
+                # indication per subframe consumed by the failed scan
+                if self.on_sync_status is not None:
+                    for _ in range(30):  # cell_search default: 3 frames
+                        self.on_sync_status(False)
                 if not self._stream_has_data():
                     return
                 continue  # keep scanning
@@ -286,5 +293,10 @@ class Receiver:
                 return  # n reached
 
     def _stream_has_data(self) -> bool:
+        # file/array radios zero-pad past the end of the capture, so a
+        # short read never happens — honour their `exhausted` flag or
+        # stream() would spin in CELL_SEARCH forever on trailing silence
+        if getattr(self.radio, "exhausted", False):
+            return False
         probe, _ = self.radio.rx_now(1)
         return len(probe) == 1

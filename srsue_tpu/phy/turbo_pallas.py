@@ -44,7 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 from . import turbo
 
 LANES = 128
-SUBLANES = 8  # one native (8,128) f32 VPU tile per op (16 measured worse)
+# sublanes per tile op: 8 = one native (8,128) f32 VPU register per op.
+# Env-tunable for on-device A/B of wider register groups. Measured on
+# v5e at the flagship shape: 16 is 1.12x faster KERNEL-ONLY (5.58 vs
+# 6.26 ms/iter — better ILP per instruction) but SLOWER end-to-end
+# (early-exit 259 vs 299 Mbps; the while_loop path's per-iteration
+# tiling works worse at TILE=2048), and 32 fails to compile (VMEM).
+# 8 stays the default.
+SUBLANES = int(os.environ.get("SRSUE_TPU_TURBO_SUBLANES", "8"))
 TILE = SUBLANES * LANES  # windows per grid step
 # steps between state-0 renormalizations (env-tunable for on-device A/B).
 # Drift is bounded by NORM_EVERY * max|gamma| ~ 8 * 0.5*(|Lin|+|Par|); with

@@ -98,3 +98,42 @@ def test_gap_triggers_resync_and_recovery():
     assert np.mean([c == cfi for c in after]) > 0.9
     # CFO was acquired and tracked
     assert abs(rx.metrics["cfo_hz"] - cfo * 15000) < 400, rx.metrics
+
+
+@pytest.mark.slow
+def test_sync_loss_feeds_rrc_rlf_monitor():
+    """The receiver's per-subframe sync-quality indications drive the
+    RRC radio-link-failure monitor (36.331 §5.3.11): a mid-stream
+    dropout produces out-of-sync indications -> N310 -> T310 -> RLF;
+    clean subframes produce in-sync indications that keep it armed."""
+    from srsue_tpu.rrc.rrc import Rrc, RrcState
+
+    cell = Cell(n_prb=6, cell_id=99)
+    td1, _, _ = _build_downlink(cell, n_frames=4, snr_db=18, sfn0=0)
+    gap = np.zeros(30 * cell.sf_len, np.complex64)
+    radio = ArrayRadio(np.concatenate([td1, gap]), cell.srate)
+    rx = Receiver(radio)
+
+    rrc = Rrc()  # standalone monitor: no MAC wired, so RLF -> IDLE
+    rrc.state = RrcState.CONNECTED
+    rrc.security_activated = False
+    rrc.n310, rrc.t310_ms, rrc.n311 = 2, 5, 1
+    in_sync = out_sync = 0
+
+    def on_status(ok: bool) -> None:
+        nonlocal in_sync, out_sync
+        if ok:
+            in_sync += 1
+            rrc.on_in_sync()
+        else:
+            out_sync += 1
+            rrc.on_out_of_sync()
+
+    rx.on_sync_status = on_status
+    for _tti, _iq in rx.stream(60):
+        pass
+
+    assert in_sync > 10          # clean subframes reported in-sync
+    assert out_sync >= rrc.n310  # the dropout reported out-of-sync
+    # N310 out-of-sync -> T310 ran -> expiry -> RLF (no security: IDLE)
+    assert rrc.state == RrcState.IDLE
