@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TPU-native LTE UE")
     p.add_argument("config", nargs="?", help="ue.conf-style INI file")
     p.add_argument("--iq", help="raw complex64 IQ capture to attach to")
+    p.add_argument("--iq-tcp", metavar="HOST:RXPORT[:TXPORT]",
+                   help="attach to a LIVE IQ stream over TCP (socket "
+                        "radio: DL samples in, timed UL bursts out)")
     p.add_argument("--srate", type=float, default=7.68e6,
                    help="capture sample rate (Hz)")
     p.add_argument("--rnti", type=lambda v: int(v, 0), default=0,
@@ -159,10 +162,16 @@ def run_iq(args) -> int:
     """Attach to a recorded/generated IQ capture: cell search -> MIB ->
     steady subframe loop with the metrics table."""
     from .phy.receiver import Receiver
-    from .radio import FileRadio
+    from .radio import FileRadio, SocketRadio
     from .utils.metrics import MetricsPrinter, PhyMetricsSnapshot
 
-    radio = FileRadio(args.iq, args.srate)
+    if args.iq_tcp:
+        parts = args.iq_tcp.split(":")
+        host, rx_port = parts[0], int(parts[1])
+        tx_port = int(parts[2]) if len(parts) > 2 else None
+        radio = SocketRadio(host, rx_port, tx_port, srate=args.srate)
+    else:
+        radio = FileRadio(args.iq, args.srate)
     rx = Receiver(radio)
     print("searching for cell...", file=sys.stderr)
     found = rx.cell_search()
@@ -220,9 +229,10 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     if args.selftest:
         return run_selftest_inline(args)
-    if args.iq:
+    if args.iq or args.iq_tcp:
         return run_iq(args)
-    print("nothing to do: pass --selftest or --iq (see --help)", file=sys.stderr)
+    print("nothing to do: pass --selftest, --iq or --iq-tcp (see --help)",
+          file=sys.stderr)
     return 2
 
 

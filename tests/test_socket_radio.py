@@ -68,3 +68,29 @@ def test_cell_acquisition_over_live_socket():
     assert got_cell.n_prb == 6
     radio.close()
     peer.close()
+
+
+def test_cli_live_tcp_attach():
+    """App surface over the live socket radio: `--iq-tcp host:port`
+    acquires the cell + MIB from a peer streaming DL IQ."""
+    import subprocess
+
+    from test_coldstart import _build_downlink
+
+    cell = Cell(n_prb=6, cell_id=151)
+    td, _, _ = _build_downlink(cell, n_frames=4, snr_db=12)
+    peer = IqPeer()
+    peer.serve_dl(td)
+    r = subprocess.run(
+        [sys.executable, "-m", "srsue_tpu.main",
+         "--iq-tcp", f"{peer.host}:{peer.rx_port}",
+         "--srate", str(cell.srate)],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"},
+    )
+    peer.close()
+    assert r.returncode == 0, r.stderr
+    assert "cell_id=151" in r.stderr
+    assert "n_prb=6" in r.stderr
+    assert "processed" in r.stderr
