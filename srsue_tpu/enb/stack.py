@@ -234,6 +234,33 @@ class EnbStack:
         return int.from_bytes(
             sec.eia2(k_rrc_int, 0xFFFFFFFF, 0x1F, 1, data)[2:4], "big")
 
+    def _k_enb_star(self, ncc: int, pci: int, earfcn: int) -> bytes:
+        """Key chaining shared by re-establishment and handover
+        (33.401 §7.2.8): horizontal from the current K_eNB at the same
+        NCC, vertical via the NH chain for a larger one."""
+        if ncc <= self.ncc:
+            basis = self.k_enb
+        else:
+            while self.ncc < ncc:
+                self.nh = sec.kdf_nh(self.k_asme, self.nh)
+                self.ncc += 1
+            basis = self.nh
+        return sec.kdf_k_enb_star(basis, pci, earfcn)
+
+    def _rebuild_srb1(self) -> None:
+        """Fresh SRB1 RLC + PDCP entities under the current K_eNB,
+        integrity on from the first PDU."""
+        self.srb1 = RlcAm(AmConfig(), write_up=self._on_dcch)
+        pc = PdcpConfig(is_control=True, bearer_id=1,
+                        tx_direction=1, rx_direction=0)
+        self.pdcp1 = PdcpEntity(1, pc, self.srb1.write_sdu,
+                                self._on_dcch_sdu)
+        self.pdcp1.config_security(
+            sec.kdf_as(self.k_enb, self.eea, "rrc_enc"),
+            sec.kdf_as(self.k_enb, self.eia, "rrc_int"),
+        )
+        self.pdcp1.enable_integrity()
+
     def _on_reestablishment_request(self, body: dict) -> None:
         self.events.append("reest_request")
         ident = body["ue_Identity"]
@@ -249,26 +276,10 @@ class EnbStack:
             return
         # re-key: KeNB* with the signalled NCC (33.401 §7.2.8.4)
         ncc = self.reest_ncc
-        if ncc <= self.ncc:
-            basis = self.k_enb
-        else:
-            while self.ncc < ncc:
-                self.nh = sec.kdf_nh(self.k_asme, self.nh)
-                self.ncc += 1
-            basis = self.nh
-        self.k_enb = sec.kdf_k_enb_star(basis, self.pci, self.earfcn)
+        self.k_enb = self._k_enb_star(ncc, self.pci, self.earfcn)
         # re-establish SRB1 (fresh RLC + PDCP state) under the new keys,
         # integrity on from the first PDU (36.331 §5.3.7.5)
-        self.srb1 = RlcAm(AmConfig(), write_up=self._on_dcch)
-        pc = PdcpConfig(is_control=True, bearer_id=1,
-                        tx_direction=1, rx_direction=0)
-        self.pdcp1 = PdcpEntity(1, pc, self.srb1.write_sdu,
-                                self._on_dcch_sdu)
-        self.pdcp1.config_security(
-            sec.kdf_as(self.k_enb, self.eea, "rrc_enc"),
-            sec.kdf_as(self.k_enb, self.eia, "rrc_int"),
-        )
-        self.pdcp1.enable_integrity()
+        self._rebuild_srb1()
         reest = M.pack("DL-CCCH", "rrcConnectionReestablishment", {
             "radioResourceConfigDedicated": {
                 "srb_ToAddModList": [{
@@ -315,6 +326,10 @@ class EnbStack:
             self._send_reconfiguration_with_attach_accept()
         elif kind == "rrcConnectionReconfigurationComplete":
             self.reconfig_complete = True
+            if self.state == "wait_ho_complete":
+                # arrived on the target's rebuilt SRB1 under the new keys
+                self.state = "attached"
+                self.events.append("ho_complete")
         elif kind == "rrcConnectionReestablishmentComplete":
             # resume the user plane: fresh RLC AM entity, but the AM-DRB
             # PDCP entity KEEPS its COUNTs (36.323 §5.2 — continuity is
@@ -454,12 +469,75 @@ class EnbStack:
             },
         }
 
+    # ------------------------------------------------- intra-LTE handover
+    def initiate_handover(self, new_pci: int, new_crnti: int, ncc: int = 1,
+                          dedicated_preamble: int | None = 7) -> None:
+        """Source-role half of an intra-eNB handover: send the
+        reconfiguration with mobilityControlInfo + securityConfigHO on
+        the CURRENT SRB1, then become the target (new identity, K_eNB*
+        keys, fresh SRB1/RLC; AM-DRB PDCP COUNTs continue)."""
+        mci = {
+            "targetPhysCellId": new_pci,
+            "t304": "ms200",
+            "newUE_Identity": new_crnti,
+            "radioResourceConfigCommon": {
+                "prach_Config": {"rootSequenceIndex": 128},
+                "pusch_ConfigCommon": {
+                    "pusch_ConfigBasic": {
+                        "n_SB": 1, "hoppingMode": "interSubFrame",
+                        "pusch_HoppingOffset": 2, "enable64QAM": False,
+                    },
+                    "ul_ReferenceSignalsPUSCH": {
+                        "groupHoppingEnabled": False,
+                        "groupAssignmentPUSCH": 0,
+                        "sequenceHoppingEnabled": False,
+                        "cyclicShift": 0,
+                    },
+                },
+                "ul_CyclicPrefixLength": "len1",
+            },
+        }
+        if dedicated_preamble is not None:
+            mci["rach_ConfigDedicated"] = {
+                "ra_PreambleIndex": dedicated_preamble,
+                "ra_PRACH_MaskIndex": 0,
+            }
+        msg = M.pack("DL-DCCH", "rrcConnectionReconfiguration", {
+            "mobilityControlInfo": mci,
+            "securityConfigHO": {"handoverType": ("intraLTE", {
+                "keyChangeIndicator": False,
+                "nextHopChainingCount": ncc,
+            })},
+        }, tid=1)
+        self.pdcp1.write_sdu(msg)
+        # drain the handover command out of the SOURCE SRB1 before the
+        # entity swap (it must reach the UE under the OLD keys)
+        self._ho_outbox = []
+        while True:
+            p = self.srb1.read_pdu(4096)
+            if not p:
+                break
+            self._ho_outbox.append(p)
+        # become the target
+        self.pci = new_pci
+        self.t_crnti = new_crnti
+        self.k_enb = self._k_enb_star(ncc, new_pci, self.earfcn)
+        self._rebuild_srb1()
+        self.drb = RlcAm(AmConfig(), write_up=self._on_drb_pdu)
+        self.drb_pdcp.rlc_write = self.drb.write_sdu
+        self.state = "wait_ho_complete"
+        self.events.append("ho_initiated")
+
     # ------------------------------------------------- transport pump
     def pump(self, ue_rlc, n_rounds: int = 20, grant: int = 1000) -> None:
         """Exchange SRB0/SRB1 RLC PDUs with the UE's RLC container until
         quiescent (both directions, generous grants)."""
         for _ in range(n_rounds):
             moved = False
+            while getattr(self, "_ho_outbox", None):
+                # source-cell SRB1 PDUs drained at handover initiation
+                ue_rlc.write_pdu(1, self._ho_outbox.pop(0))
+                moved = True
             for lcid, enb_ent in ((0, self.srb0), (1, self.srb1), (3, self.drb)):
                 pdu = ue_rlc.read_pdu(lcid, grant)
                 if pdu:

@@ -80,6 +80,10 @@ class RaProc:
         self._conres_cnt = 0
         self._backoff_param = 0
         self.msg3: bytes | None = None
+        # contention-free RA (36.321 §5.1.2: ra-PreambleIndex signalled
+        # by RRC, e.g. handover rach-ConfigDedicated): fixed preamble,
+        # completion on RAR reception (no Msg3/contention)
+        self.dedicated_preamble: int | None = None
 
     # --- kickoff (start_mux_order / start_pdcch_order etc.) ----------------
     def start(self, msg3: bytes, ue_crid: bytes) -> None:
@@ -88,6 +92,7 @@ class RaProc:
         self.ue_crid = ue_crid
         self.preamble_count = 0
         self.power = self.cfg.preamble_init_power
+        self.dedicated_preamble = None  # caller may set AFTER start
         self.state = RaState.RESOURCE_SELECTION
 
     def step(self, tti: int) -> None:
@@ -98,7 +103,10 @@ class RaProc:
             # step_completition -> back to idle semantics)
             self.state = RaState.IDLE
         elif s == RaState.RESOURCE_SELECTION:
-            self.preamble_idx = self.rng.randrange(self.cfg.group_a_size)
+            if self.dedicated_preamble is not None:
+                self.preamble_idx = self.dedicated_preamble
+            else:
+                self.preamble_idx = self.rng.randrange(self.cfg.group_a_size)
             self.state = RaState.PREAMBLE_TX
         elif s == RaState.PREAMBLE_TX:
             if self.preamble_count >= self.cfg.preamble_trans_max:
@@ -142,6 +150,12 @@ class RaProc:
                 self.on_timing_advance(rar.ta)  # process_timeadv_cmd
                 self.last_rar = rar
                 self.t_crnti = rar.t_crnti
+                if self.dedicated_preamble is not None:
+                    # contention-free RA: the RAR completes the procedure
+                    # (36.321 §5.1.5: no contention resolution needed)
+                    self.state = RaState.COMPLETION
+                    self.on_complete(self.t_crnti)
+                    return
                 assert self.msg3 is not None
                 self.send_msg3(self.msg3, rar.t_crnti)
                 self._conres_cnt = 0
@@ -178,3 +192,4 @@ class RaProc:
         self.state = RaState.IDLE
         self.msg3 = b""
         self._backoff_cnt = 0
+        self.dedicated_preamble = None

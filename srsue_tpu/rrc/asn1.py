@@ -803,12 +803,81 @@ UECapabilityEnquiry = Seq(
         3, "ueCapabilityEnquiry-r8", UECapabilityEnquiry_r8_IEs)),
 )
 
+# ---- intra-LTE handover IEs (36.331 §6.3.4; capability-plus — the
+# reference never decodes mobilityControlInfo) ----
+
+PHICH_Config = Seq(
+    ("phich_Duration", Enum("normal", "extended")),
+    ("phich_Resource", Enum("oneSixth", "half", "one", "two")),
+)
+AntennaInfoCommon = Seq(
+    ("antennaPortsCount", Enum("an1", "an2", "an4", "spare1")),
+)
+PRACH_Config = Seq(
+    ("rootSequenceIndex", Int(0, 837)),
+    ("prach_ConfigInfo", PRACH_ConfigInfo, OPT),
+)
+# the handover variant of the common config: most fields optional
+# (delta signalling against the target's SIB2), no bcch/pcch
+RadioResourceConfigCommon = Seq(
+    ("rach_ConfigCommon", RACH_ConfigCommon, OPT),
+    ("prach_Config", PRACH_Config),
+    ("pdsch_ConfigCommon", PDSCH_ConfigCommon, OPT),
+    ("pusch_ConfigCommon", PUSCH_ConfigCommon),
+    ("phich_Config", PHICH_Config, OPT),
+    ("pucch_ConfigCommon", PUCCH_ConfigCommon, OPT),
+    ("soundingRS_UL_ConfigCommon", SoundingRS_UL_ConfigCommon, OPT),
+    ("uplinkPowerControlCommon", UplinkPowerControlCommon, OPT),
+    ("antennaInfoCommon", AntennaInfoCommon, OPT),
+    ("p_Max", Int(-30, 33), OPT),
+    ("tdd_Config", TDD_Config, OPT),
+    ("ul_CyclicPrefixLength", Enum("len1", "len2")),
+    ext=True,
+)
+CarrierFreqEUTRA = Seq(
+    ("dl_CarrierFreq", ARFCN_ValueEUTRA),
+    ("ul_CarrierFreq", ARFCN_ValueEUTRA, OPT),
+)
+_BW_ENUM = ("n6", "n15", "n25", "n50", "n75", "n100",
+            *[f"spare{i}" for i in range(10, 0, -1)])
+CarrierBandwidthEUTRA = Seq(
+    ("dl_Bandwidth", Enum(*_BW_ENUM)),
+    ("ul_Bandwidth", Enum(*_BW_ENUM), OPT),
+)
+RACH_ConfigDedicated = Seq(
+    ("ra_PreambleIndex", Int(0, 63)),
+    ("ra_PRACH_MaskIndex", Int(0, 15)),
+)
+MobilityControlInfo = Seq(
+    ("targetPhysCellId", Int(0, 503)),
+    ("carrierFreq", CarrierFreqEUTRA, OPT),
+    ("carrierBandwidth", CarrierBandwidthEUTRA, OPT),
+    ("additionalSpectrumEmission", Int(1, 32), OPT),
+    ("t304", Enum("ms50", "ms100", "ms150", "ms200", "ms500", "ms1000",
+                  "ms2000", "spare1")),
+    ("newUE_Identity", C_RNTI),
+    ("radioResourceConfigCommon", RadioResourceConfigCommon),
+    ("rach_ConfigDedicated", RACH_ConfigDedicated, OPT),
+    ext=True,
+)
+SecurityConfigHO = Seq(
+    ("handoverType", Choice(
+        ("intraLTE", Seq(
+            ("securityAlgorithmConfig", SecurityAlgorithmConfig, OPT),
+            ("keyChangeIndicator", Bool()),
+            ("nextHopChainingCount", NextHopChainingCount),
+        )),
+        ("interRAT", Unsupported("interRAT handover")),
+    )),
+    ext=True,
+)
+
 RRCConnectionReconfiguration_r8_IEs = Seq(
     ("measConfig", Unsupported("measConfig"), OPT),
-    ("mobilityControlInfo", Unsupported("mobilityControlInfo"), OPT),
+    ("mobilityControlInfo", MobilityControlInfo, OPT),
     ("dedicatedInfoNASList", SeqOf(DedicatedInfoNAS, 1, 11), OPT),
     ("radioResourceConfigDedicated", RadioResourceConfigDedicated, OPT),
-    ("securityConfigHO", Unsupported("securityConfigHO"), OPT),
+    ("securityConfigHO", SecurityConfigHO, OPT),
     ("nonCriticalExtension", Seq(), OPT),
 )
 RRCConnectionReconfiguration = Seq(

@@ -98,6 +98,9 @@ class Rrc:
         self._oos_count = 0
         self._t310_left = -1  # -1 = not running
         self._is_count = 0
+        self._t304_left = -1  # handover supervision timer (§5.3.5)
+        self._pending_ho_complete: int | None = None
+        self._reestablishing = False
 
     # ------------------------------------------------------------- kickoff
     def connect(self) -> None:
@@ -255,8 +258,9 @@ class Rrc:
         # MAC derives the contention-resolution id from the SDU itself
         self.mac.start_ra(msg)
 
-    def ra_completed(self) -> None:
-        pass  # PDCCH now armed on C-RNTI; ConnectionSetup arrives on DL-CCCH
+    # (ra_completed is defined with the handover logic below: after a
+    # normal attach RA it is a no-op; after a handover RA it finishes
+    # the procedure)
 
     # ----------------------------------------------- PDCP -> RRC delivery
     def write_pdu(self, lcid: int, payload: bytes) -> None:
@@ -398,6 +402,9 @@ class Rrc:
                 self.mac.sr.sr_trans_max = int(sr[1]["dsr_TransMax"][1:])
 
     def _handle_reconfig(self, body: dict, tid: int) -> None:
+        if body.get("mobilityControlInfo") is not None:
+            self._handle_handover(body, tid)
+            return
         rrcd = body.get("radioResourceConfigDedicated") or {}
         if rrcd.get("physicalConfigDedicated"):
             self._apply_physical_dedicated(rrcd["physicalConfigDedicated"])
@@ -544,6 +551,95 @@ class Rrc:
                      tid=tid)
         self.pdcp.write_sdu(1, msg)
         self.state = RrcState.CONNECTED
+
+    # ----------------------------------------------- intra-LTE handover
+    # Capability-plus: the reference never decodes mobilityControlInfo.
+    # 36.331 §5.3.5.4 (reconfiguration including mobility): apply the
+    # target identity, reset MAC, re-key (K_eNB* with the signalled NCC
+    # toward the TARGET PCI), re-establish PDCP/RLC, RA to the target,
+    # then ReconfigurationComplete on the target's SRB1. T304 guards the
+    # procedure; expiry -> re-establishment with cause handoverFailure
+    # (§5.3.5.6).
+
+    def _handle_handover(self, body: dict, tid: int) -> None:
+        mci = body["mobilityControlInfo"]
+        sec_ho = body.get("securityConfigHO")
+        ncc = 0
+        if sec_ho is not None and sec_ho["handoverType"][0] == "intraLTE":
+            intra = sec_ho["handoverType"][1]
+            ncc = intra.get("nextHopChainingCount", 0)
+            alg = intra.get("securityAlgorithmConfig")
+            if alg:
+                self.eea = self._EEA.get(alg["cipheringAlgorithm"], self.eea)
+                self.eia = self._EIA.get(alg["integrityProtAlgorithm"],
+                                         self.eia)
+        new_crnti = mci["newUE_Identity"]
+        self.pci = mci["targetPhysCellId"]
+        cf = mci.get("carrierFreq")
+        if cf:
+            self.earfcn = cf["dl_CarrierFreq"]
+        self._t304_left = _ie_ms(mci["t304"], 200)
+        # MAC reset + target common config (prach fan-out)
+        if self.mac is not None and hasattr(self.mac, "reset"):
+            self.mac.reset()
+        common = mci["radioResourceConfigCommon"]
+        pr = common.get("prach_Config")
+        if (pr and pr.get("prach_ConfigInfo") and self.phy is not None
+                and hasattr(self.phy, "configure_prach")):
+            info = pr["prach_ConfigInfo"]
+            self.phy.configure_prach(
+                root_seq_index=pr["rootSequenceIndex"],
+                zero_corr=info["zeroCorrelationZoneConfig"],
+                freq_offset=info["prach_FreqOffset"],
+                config_index=info["prach_ConfigIndex"],
+            )
+        # re-key toward the target cell and re-establish the bearers
+        if self.usim is not None and self.usim.k_enb is not None:
+            self.usim.refresh_as_keys(self.pci, self.earfcn, ncc,
+                                      self.eea, self.eia)
+            self.pdcp.config_security_all(
+                self.usim.keys["rrc_enc"], self.usim.keys["rrc_int"])
+        if self.rlc is not None:
+            self.rlc.reestablish()
+        self.pdcp.reestablish_bearer(1)
+        self.pdcp.enable_integrity(1)
+        # (mac.crnti keeps the SOURCE identity until RA completes at the
+        # target — a T304 expiry falls back to re-establishment with the
+        # source context)
+        # RA to the target carrying the new C-RNTI (contention-free when
+        # rach-ConfigDedicated gives a preamble; else C-RNTI CE in Msg3)
+        self._pending_ho_complete = tid
+        if self.mac is not None and hasattr(self.mac, "mux"):
+            self.mac.mux.pending_crnti = new_crnti
+            self.mac.contention_id = b"\x00" * 6
+            ded = mci.get("rach_ConfigDedicated")
+            self.mac.ra.start(b"", self.mac.contention_id)
+            if ded is not None:
+                # dedicated preamble: no contention (§5.1.1 of 36.321)
+                self.mac.ra.dedicated_preamble = ded["ra_PreambleIndex"]
+        self._ho_new_crnti = new_crnti
+
+    def ra_completed(self) -> None:
+        """PDCCH now armed on C-RNTI. After a handover RA, finish the
+        procedure: stop T304, send ReconfigurationComplete on SRB1."""
+        tid = getattr(self, "_pending_ho_complete", None)
+        if tid is None:
+            return
+        self._pending_ho_complete = None
+        self._t304_left = -1
+        msg = M.pack("UL-DCCH", "rrcConnectionReconfigurationComplete", {},
+                     tid=tid)
+        self.pdcp.write_sdu(1, msg)
+        self.state = RrcState.CONNECTED
+
+    def step_tti(self) -> None:
+        """Per-TTI RRC timers (T304; stepped from the UE main loop)."""
+        if self._t304_left >= 0:
+            self._t304_left -= 1
+            if self._t304_left < 0:
+                # §5.3.5.6: handover failure -> re-establishment
+                self._pending_ho_complete = None
+                self.reestablish("handoverFailure")
 
     # -------- radio-link monitoring (§5.3.11.1-2; counters are stepped
     # by per-subframe sync-quality indications from the receiver)

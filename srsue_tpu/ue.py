@@ -101,6 +101,8 @@ class Ue:
 
     def run_tti(self, tti: int) -> None:
         self.mac.run_tti(tti)
+        if hasattr(self.rrc, "step_tti"):
+            self.rrc.step_tti()  # RRC-owned timers (T304)
         self.rlc.step_timers()
         self.gw.poll_ul()
 
