@@ -85,14 +85,22 @@ _VALID_TBS = sorted({v for col in TBS_COLUMNS.values() for v in col})
 def tbs(i_tbs: int, n_prb: int) -> int:
     if n_prb in TBS_COLUMNS:
         return TBS_COLUMNS[n_prb][i_tbs]
-    # fallback for non-standard allocation widths: scale the nearest exact
-    # column, then snap down to the largest valid spec TBS <= the scaled
-    # value (full 110-column table parity tracked in PARITY.md). Below the
-    # alphabet floor, fall back to a byte-aligned floor rather than
-    # clamping UP (ADVICE r2 medium).
+    # fallback for non-standard allocation widths: LINEARLY INTERPOLATE
+    # between the surrounding exact columns (monotone in n_prb by
+    # construction — nearest-column scaling was not: the anchor switch
+    # at the midpoint could step DOWN), then snap down to the largest
+    # valid spec TBS <= the estimate (full 110-column table parity
+    # tracked in PARITY.md). Below the alphabet floor, fall back to a
+    # byte-aligned floor rather than clamping UP (ADVICE r2 medium).
     cols = sorted(TBS_COLUMNS)
-    ref = min(cols, key=lambda c: abs(c - n_prb))
-    approx = TBS_COLUMNS[ref][i_tbs] * n_prb / ref
+    lo = max((c for c in cols if c <= n_prb), default=cols[0])
+    hi = min((c for c in cols if c >= n_prb), default=None)
+    if hi is None:  # beyond the widest anchor: scale the last column
+        approx = TBS_COLUMNS[cols[-1]][i_tbs] * n_prb / cols[-1]
+    else:
+        t = (n_prb - lo) / (hi - lo)
+        approx = (TBS_COLUMNS[lo][i_tbs] * (1.0 - t)
+                  + TBS_COLUMNS[hi][i_tbs] * t)
     if approx < _VALID_TBS[0]:
         return max(16, int(approx) // 8 * 8)
     i = int(np.searchsorted(np.asarray(_VALID_TBS), approx, side="right")) - 1

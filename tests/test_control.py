@@ -176,3 +176,25 @@ def test_pdcch_no_false_alarm_wrong_rnti():
     )
     hits = control.pdcch_blind_decode(cell, g_eq, nv, 1, 2, 0x4321, len(bits))
     assert hits == []
+
+
+def test_tbs_fallback_properties():
+    """The interpolated TBS fallback (non-anchor allocation widths) is
+    monotone non-decreasing in N_PRB for every I_TBS, exact at the
+    anchor columns, alphabet-valid above the floor, and byte-aligned
+    below it (the full 110-column table is tracked in PARITY.md)."""
+    from srsue_tpu.phy import ra
+
+    valid = set(ra._VALID_TBS)
+    for i in range(27):
+        prev = 0
+        for n in range(1, 111):
+            v = ra.tbs(i, n)
+            assert v >= prev, (i, n, prev, v)
+            prev = v
+            if n in ra.TBS_COLUMNS:
+                assert v == ra.TBS_COLUMNS[n][i]
+            elif v >= ra._VALID_TBS[0]:
+                assert v in valid, (i, n, v)
+            else:
+                assert v % 8 == 0 and v >= 16
