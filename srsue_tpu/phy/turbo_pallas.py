@@ -270,6 +270,155 @@ def _half_kernel_v3(lin_ref, par_ref, a0_ref, b0_ref,
         bfirst_ref[s] = beta[s]
 
 
+@functools.lru_cache(maxsize=1)
+def _radix4_tables():
+    """2-step (radix-4) trellis tables, derived from the radix-2 ones.
+
+    Each 2-step branch metric g2 = gamma_t(sp,u1) + gamma_{t+1}(sm,u2)
+    takes the form sign * (A_x +- B_y) with A = (gpp_t, gpm_t) and
+    B = (gpp_{t+1}, gpm_{t+1}): gamma_t(s,u) = u_sign * (gpp if
+    u_sign*p_sign>0 else gpm), so g2 = s1*X + s2*Y = s1*(X +- Y).
+    Key = (x, y, d) indexes the 8 possible bases (d=0: A_x+B_y,
+    d=1: A_x-B_y); sign = s1.
+
+    Returns (fwd, paths):
+      fwd[s2]  = 4x (sp, key, sign) — the radix-4 predecessors of s2
+      paths    = 32x (sp, s2, key, sign, u1, u2) — all 2-step branches
+    """
+    ns, par, prev_s, prev_u, u_sign, p_sign = _static_tables()
+    paths = []
+    fwd = [[] for _ in range(8)]
+    for sp in range(8):
+        for u1 in (0, 1):
+            sm = int(ns[sp, u1])
+            s1 = int(u_sign[u1])
+            b1 = 0 if s1 * p_sign[sp, u1] > 0 else 1
+            for u2 in (0, 1):
+                s2sgn = int(u_sign[u2])
+                b2 = 0 if s2sgn * p_sign[sm, u2] > 0 else 1
+                s2 = int(ns[sm, u2])
+                key = (b1, b2, 0 if s1 == s2sgn else 1)
+                paths.append((sp, s2, key, s1, u1, u2))
+                fwd[s2].append((sp, key, s1))
+    assert all(len(f) == 4 for f in fwd)
+    return fwd, tuple(paths)
+
+
+def _half_kernel_v4(lin_ref, par_ref, a0_ref, b0_ref,
+                    ext_ref, alast_ref, bfirst_ref,
+                    alphas_ref, gpp_ref, gpm_ref,
+                    *, unroll: bool):
+    """v4: RADIX-4 BCJR — two trellis steps per recursion step.
+
+    The sequential add-compare-select chain the VPU waits on halves
+    (lw/2 steps instead of lw); per double-step each of the 8 states
+    takes a 4-way max over 2-step branch metrics. Alpha is stored at
+    EVEN positions only (half the VMEM scratch traffic of v2/v3); the
+    backward pass jointly emits both bits' extrinsics from
+    alpha_t + g2 + beta_{t+2} grouped by (u1, u2). Identical max-log
+    semantics to radix-2 (max over paths associates) up to f32
+    re-association; pinned against v3 in tests/test_turbo_pallas.py.
+    """
+    fwd_tab, paths = _radix4_tables()
+    lw = lin_ref.shape[0]
+    half = lw // 2
+    ne2 = max(NORM_EVERY // 2, 1)
+    assert lw % 2 == 0 and half % ne2 == 0
+
+    # vectorized branch-metric halves over the whole window (v3 trick)
+    gpp_ref[:] = 0.5 * (lin_ref[:] + par_ref[:])
+    gpm_ref[:] = 0.5 * (lin_ref[:] - par_ref[:])
+
+    def g2_of(td):
+        t = 2 * td
+        A = (gpp_ref[t], gpm_ref[t])
+        B = (gpp_ref[t + 1], gpm_ref[t + 1])
+        G = {}
+        for x in range(2):
+            for y in range(2):
+                G[(x, y, 0)] = A[x] + B[y]
+                G[(x, y, 1)] = A[x] - B[y]
+        return G
+
+    def maxtree4(c):
+        return jnp.maximum(jnp.maximum(c[0], c[1]), jnp.maximum(c[2], c[3]))
+
+    # ---------------- forward ----------------
+    def fwd_step(td, alpha):
+        G = g2_of(td)
+        for s in range(8):
+            alphas_ref[td, s] = alpha[s]
+        new = []
+        for s2 in range(8):
+            cands = []
+            for sp, key, sgn in fwd_tab[s2]:
+                g = G[key]
+                cands.append(alpha[sp] + g if sgn > 0 else alpha[sp] - g)
+            new.append(maxtree4(cands))
+        return new
+
+    def fwd_body(tb, alpha):
+        alpha = list(alpha)
+        for j in range(ne2):
+            alpha = fwd_step(tb * ne2 + j, alpha)
+        z = alpha[0]
+        return tuple(a - z for a in alpha)
+
+    n_groups = half // ne2
+    alpha = tuple(a0_ref[s] for s in range(8))
+    if unroll:
+        for tb in range(n_groups):
+            alpha = fwd_body(tb, alpha)
+    else:
+        alpha = jax.lax.fori_loop(0, n_groups, fwd_body, alpha)
+    for s in range(8):
+        alast_ref[s] = alpha[s]
+
+    # ---------------- backward + joint extrinsic ----------------
+    def bwd_step(td, beta):
+        G = g2_of(td)
+        t = 2 * td
+        bcand = {}
+        for sp, s2, key, sgn, u1, u2 in paths:
+            g = G[key]
+            bcand[(sp, u1, u2)] = (beta[s2] + g if sgn > 0
+                                   else beta[s2] - g)
+        new = []
+        gm = {}
+        for sp in range(8):
+            cands = [bcand[(sp, u1, u2)]
+                     for u1 in (0, 1) for u2 in (0, 1)]
+            new.append(maxtree4(cands))
+            a_s = alphas_ref[td, sp]
+            for u1 in (0, 1):
+                for u2 in (0, 1):
+                    p = bcand[(sp, u1, u2)] + a_s
+                    k = (u1, u2)
+                    gm[k] = p if k not in gm else jnp.maximum(gm[k], p)
+        ext_ref[t] = (jnp.maximum(gm[(0, 0)], gm[(0, 1)])
+                      - jnp.maximum(gm[(1, 0)], gm[(1, 1)])) - lin_ref[t]
+        ext_ref[t + 1] = (jnp.maximum(gm[(0, 0)], gm[(1, 0)])
+                          - jnp.maximum(gm[(0, 1)], gm[(1, 1)])
+                          ) - lin_ref[t + 1]
+        return new
+
+    def bwd_body(tb, beta):
+        beta = list(beta)
+        for j in range(ne2):
+            beta = bwd_step(half - 1 - (tb * ne2 + j), beta)
+        z = beta[0]
+        return tuple(b - z for b in beta)
+
+    beta = tuple(b0_ref[s] for s in range(8))
+    if unroll:
+        for tb in range(n_groups):
+            beta = bwd_body(tb, beta)
+    else:
+        beta = jax.lax.fori_loop(0, n_groups, bwd_body, beta)
+    for s in range(8):
+        bfirst_ref[s] = beta[s]
+
+
 def tile_windows(x, d, T):
     """[n, d] -> [T*d, 8, 128] with d-major rows inside each tile."""
     return (x.reshape(T, SUBLANES, LANES, d)
@@ -299,8 +448,16 @@ def half_tiled(lin_t, par_t, a0_t, b0_t, lw: int,
     # v3 (vectorized branch metrics, negation folded into the recursion)
     # measured 1.11x the v2 kernel at the flagship shape on v5e
     # (tools/bench_kernel_variants.py); v2 kept for A/B.
-    variant = os.environ.get("SRSUE_TPU_TURBO_KERNEL", "v3")
-    if variant == "v3":
+    variant = os.environ.get("SRSUE_TPU_TURBO_KERNEL", "v4")
+    if variant == "v4":
+        # radix-4: half the sequential steps, alpha scratch halves
+        kernel = functools.partial(_half_kernel_v4, unroll=unroll)
+        scratch = [
+            pltpu.VMEM((lw // 2, 8, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
+        ]
+    elif variant == "v3":
         kernel = functools.partial(_half_kernel_v3, unroll=unroll)
         scratch = [
             pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32),

@@ -62,7 +62,13 @@ class SocketRadio(Radio):
         while len(self._rx_buf) < want and not self._eof:
             try:
                 chunk = self._rx.recv(1 << 18)
-            except (TimeoutError, OSError):
+            except TimeoutError:
+                # Transient stall on a live peer (ADVICE r3): NOT end of
+                # stream — deliver a zero-padded subframe (counted as an
+                # underflow below) and keep the session; only a peer
+                # close / hard socket error is terminal.
+                break
+            except OSError:
                 chunk = b""
             if not chunk:
                 self._eof = True

@@ -574,6 +574,18 @@ class Rrc:
                 self.eia = self._EIA.get(alg["integrityProtAlgorithm"],
                                          self.eia)
         new_crnti = mci["newUE_Identity"]
+        # Snapshot the SOURCE PCell context before applying the command:
+        # a T304 expiry must build the ReestablishmentRequest with the
+        # source PCI/C-RNTI/K_RRCint (36.331 §5.3.5.6 -> §5.3.7.4), not
+        # the target's (ADVICE r3 medium).
+        self._ho_src = {
+            "pci": self.pci, "earfcn": self.earfcn,
+            "eea": self.eea, "eia": self.eia,
+            "crnti": self.mac.crnti if self.mac is not None else 0,
+        }
+        if self.usim is not None and self.usim.k_enb is not None:
+            self._ho_src["usim"] = (self.usim.k_enb, self.usim.ncc,
+                                    self.usim.nh, dict(self.usim.keys))
         self.pci = mci["targetPhysCellId"]
         cf = mci.get("carrierFreq")
         if cf:
@@ -610,13 +622,17 @@ class Rrc:
         # rach-ConfigDedicated gives a preamble; else C-RNTI CE in Msg3)
         self._pending_ho_complete = tid
         if self.mac is not None and hasattr(self.mac, "mux"):
-            self.mac.mux.pending_crnti = new_crnti
             self.mac.contention_id = b"\x00" * 6
             ded = mci.get("rach_ConfigDedicated")
             self.mac.ra.start(b"", self.mac.contention_id)
             if ded is not None:
                 # dedicated preamble: no contention (§5.1.1 of 36.321)
                 self.mac.ra.dedicated_preamble = ded["ra_PreambleIndex"]
+            else:
+                # contention-based HO RA only: identify via C-RNTI CE in
+                # Msg3 (36.321 §5.1.5; a CE outside Msg3 would be
+                # spurious — ADVICE r3 low)
+                self.mac.mux.pending_crnti = new_crnti
         self._ho_new_crnti = new_crnti
 
     def ra_completed(self) -> None:
@@ -627,19 +643,64 @@ class Rrc:
             return
         self._pending_ho_complete = None
         self._t304_left = -1
+        # 36.321 §5.1.5: for dedicated-preamble RA the RAR's Temporary
+        # C-RNTI is DISCARDED — the UE identity at the target is
+        # mobilityControlInfo.newUE_Identity (ADVICE r3 medium). The
+        # contention-based path resolves to the same value via the
+        # C-RNTI CE, so install it unconditionally.
+        new_crnti = getattr(self, "_ho_new_crnti", None)
+        if new_crnti is not None and self.mac is not None:
+            self.mac.crnti = new_crnti
+            if hasattr(self.mac, "phy") and self.mac.phy is not None:
+                self.mac.phy.pdcch_dl_search_crnti(new_crnti)
+            self.mac.mux.pending_crnti = None
+        self._ho_new_crnti = None
+        self._ho_src = None  # success: source context no longer needed
         msg = M.pack("UL-DCCH", "rrcConnectionReconfigurationComplete", {},
                      tid=tid)
         self.pdcp.write_sdu(1, msg)
         self.state = RrcState.CONNECTED
 
+    def _ho_restore_source(self) -> None:
+        """T304 expiry: roll back to the source PCell context so the
+        re-establishment request carries the source PCI / C-RNTI /
+        shortMAC-I keyed with the source K_RRCint (§5.3.7.4)."""
+        src = getattr(self, "_ho_src", None)
+        if src is None:
+            return
+        self.pci = src["pci"]
+        self.earfcn = src["earfcn"]
+        self.eea = src["eea"]
+        self.eia = src["eia"]
+        u = src.get("usim")
+        if u is not None and self.usim is not None:
+            self.usim.k_enb, self.usim.ncc, self.usim.nh = u[0], u[1], u[2]
+            self.usim.keys = dict(u[3])
+            self.pdcp.config_security_all(
+                self.usim.keys["rrc_enc"], self.usim.keys["rrc_int"])
+        if self.mac is not None and src.get("crnti"):
+            self.mac.crnti = src["crnti"]
+            self.mac.mux.pending_crnti = None
+        self._ho_src = None
+
     def step_tti(self) -> None:
-        """Per-TTI RRC timers (T304; stepped from the UE main loop)."""
+        """Per-TTI RRC timers (T304, T310; stepped from the UE main
+        loop). T310 is wall-clock per 36.331 §5.3.11.2 — it runs down
+        once per subframe regardless of that subframe's sync indication
+        (ADVICE r3 low)."""
         if self._t304_left >= 0:
             self._t304_left -= 1
             if self._t304_left < 0:
-                # §5.3.5.6: handover failure -> re-establishment
+                # §5.3.5.6: handover failure -> re-establishment with
+                # the SOURCE cell context restored
                 self._pending_ho_complete = None
+                self._ho_new_crnti = None
+                self._ho_restore_source()
                 self.reestablish("handoverFailure")
+        if self._t310_left >= 0:
+            self._t310_left -= 1
+            if self._t310_left < 0:
+                self.radio_link_failure("otherFailure")
 
     # -------- radio-link monitoring (§5.3.11.1-2; counters are stepped
     # by per-subframe sync-quality indications from the receiver)
@@ -647,9 +708,10 @@ class Rrc:
         if self.state != RrcState.CONNECTED:
             return
         if self._t310_left >= 0:
-            self._t310_left -= 1
-            if self._t310_left < 0:
-                self.radio_link_failure("otherFailure")
+            # T310 runs on wall-clock (step_tti); an out-of-sync while it
+            # runs only breaks the N311 CONSECUTIVE in-sync requirement
+            # (36.331 §5.3.11.2; ADVICE r3 low)
+            self._is_count = 0
             return
         self._is_count = 0
         self._oos_count += 1

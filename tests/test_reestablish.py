@@ -94,11 +94,16 @@ def test_full_reestablishment_flow():
     old_k_enb = bytes(ue.usim.k_enb)
     enb.reconfig_complete = False
 
-    # radio link failure: N310 out-of-sync indications then T310 expiry
+    # radio link failure: N310 out-of-sync indications start T310, which
+    # then expires on WALL CLOCK (one step_tti per subframe) even though
+    # the channel keeps delivering interleaved in-sync subframes below
+    # the N311-consecutive threshold (ADVICE r3: T310 is wall-clock)
     for _ in range(ue.rrc.n310):
         ue.rrc.on_out_of_sync()
-    for _ in range(ue.rrc.t310_ms + 1):
-        ue.rrc.on_out_of_sync()
+    for i in range(ue.rrc.t310_ms + 1):
+        if i % 2 == 0:
+            ue.rrc.on_out_of_sync()  # indications don't advance T310
+        ue.rrc.step_tti()
     assert ue.rrc.state == RrcState.WAIT_CON_REESTABLISH
 
     tti = _drive_ra(ue, enb, tti0=500)
@@ -155,16 +160,26 @@ def test_reestablishment_reject_unknown_ue():
 
 
 def test_rlf_recovery_via_n311():
-    """N311 in-sync indications while T310 runs stop the timer (no RLF)."""
+    """N311 CONSECUTIVE in-sync indications while T310 runs stop the
+    timer (no RLF); non-consecutive ones do not (36.331 §5.3.11.2)."""
     ue, enb = _attached_pair()
+    ue.rrc.n311 = 2
     for _ in range(ue.rrc.n310):
         ue.rrc.on_out_of_sync()
     for _ in range(5):
         ue.rrc.on_out_of_sync()  # T310 running
-    for _ in range(ue.rrc.n311):
-        ue.rrc.on_in_sync()
+        ue.rrc.step_tti()
+    # in-syncs interrupted by an out-of-sync do NOT satisfy N311=2
+    ue.rrc.on_in_sync()
+    ue.rrc.on_out_of_sync()      # resets the consecutive count
+    ue.rrc.on_in_sync()
+    assert ue.rrc._t310_left >= 0  # still running
+    # two CONSECUTIVE in-syncs recover
+    ue.rrc.on_in_sync()
+    assert ue.rrc._t310_left < 0   # stopped
     for _ in range(ue.rrc.t310_ms + 10):
         ue.rrc.on_in_sync()
+        ue.rrc.step_tti()
     assert ue.rrc.state == RrcState.CONNECTED
 
 

@@ -128,6 +128,7 @@ def test_sync_loss_feeds_rrc_rlf_monitor():
         else:
             out_sync += 1
             rrc.on_out_of_sync()
+        rrc.step_tti()  # T310 is wall-clock: one tick per subframe
 
     rx.on_sync_status = on_status
     for _tti, _iq in rx.stream(60):

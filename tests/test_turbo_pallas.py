@@ -104,6 +104,36 @@ def test_unrolled_kernel_matches_fori_loop():
                                    rtol=1e-6, atol=1e-5)
 
 
+def test_radix4_matches_radix2(monkeypatch):
+    """The radix-4 v4 kernel (two trellis steps per recursion step —
+    the TPU default) equals the radix-2 v3 kernel in interpret mode
+    (VERDICT r3 item 1: 'interpret-mode test pins radix-4 == radix-2')."""
+    k, lw, b = 512, 64, 3
+    rng = np.random.default_rng(21)
+    _, llrs, _ = _make(k, b, 2.0, rng)
+    n = b * (k // lw)
+    pad = (-n) % turbo_pallas.TILE
+    lin = np.concatenate(
+        [llrs[:, 0, :k].reshape(n, lw),
+         np.zeros((pad, lw), np.float32)]).astype(np.float32)
+    par = np.concatenate(
+        [llrs[:, 1, :k].reshape(n, lw),
+         np.zeros((pad, lw), np.float32)]).astype(np.float32)
+    rng2 = np.random.default_rng(22)
+    a0 = rng2.standard_normal((n + pad, 8)).astype(np.float32)
+    b0 = rng2.standard_normal((n + pad, 8)).astype(np.float32)
+    args = (jnp.asarray(lin), jnp.asarray(par), jnp.asarray(a0),
+            jnp.asarray(b0))
+    outs = {}
+    for variant in ("v3", "v4"):
+        monkeypatch.setenv("SRSUE_TPU_TURBO_KERNEL", variant)
+        outs[variant] = turbo_pallas.half_windowed_pallas(
+            *args, lw, interpret=True)
+    for g, r in zip(outs["v4"], outs["v3"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_forced_path_decodes():
     """The lean forced-iteration path (no per-iteration CRC/masking —
     the 8-iter headline program) still decodes correctly and reports
