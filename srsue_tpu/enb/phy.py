@@ -207,6 +207,18 @@ class EnbPhy:
 
     def _drain_stack_dl(self, grid, tti) -> bool:
         """Carry one pending SRB PDU (with Msg4 CON_RES when needed)."""
+        ob = getattr(self.stack, "_ho_outbox", None)
+        if ob:
+            # source-role: the handover command was drained from the
+            # source SRB1 at initiate_handover (under the OLD keys) —
+            # carry it over the air on this cell's PDSCH
+            pdu = ob.pop(0)
+            mac_pdu = pdu_mod.MacPdu()
+            mac_pdu.add_sdu(1, pdu)
+            raw = pdu_mod.pack(mac_pdu, len(pdu) + 12)
+            self._map_dlsch(grid, tti, raw, self.crnti)
+            self.events.append("ho_cmd_dl")
+            return True
         for lcid, ent in ((0, self.stack.srb0), (1, self.stack.srb1),
                           (3, self.stack.drb)):
             pdu = ent.read_pdu(200)
@@ -438,6 +450,10 @@ class EnbPhy:
                 ent = {1: self.stack.srb1, 3: self.stack.drb}.get(sh.lcid)
                 if ent is not None:
                     ent.write_pdu(sh.payload)
+                # any dedicated-channel UL means the UE is with us —
+                # after a contention-free handover RA there is no Msg3
+                # CCCH, the first UL is the Complete on SRB1
+                self._ue_connected = True
                 self.events.append(f"ul_lcid{sh.lcid}")
 
     def ul_grant_for(self, tti: int) -> UlGrant | None:

@@ -14,7 +14,9 @@ is ``grid[..., n_sym_sf, n_sc]`` with DC skipped (36.211 §6.12).
 from __future__ import annotations
 
 import functools
+import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +39,58 @@ def symbol_starts(cell: Cell) -> tuple[int, ...]:
     return tuple(starts)
 
 
+def _demod_mat(cell: Cell):
+    """Fused demodulation DFT operator [nfft, n_sc]: only the USED bins
+    (DC skipped, fftshift grid order baked into the column order) at
+    1/sqrt(nfft) scale. One tall MXU matmul instead of a 2-stage
+    Cooley-Tukey whose [16,16] stage pads to the 128x128 MXU tile (8x
+    FLOP waste).
+
+    Built ON DEVICE from iota arithmetic — a multi-MB numpy constant
+    baked into the jit bloats the serialized HLO the axon relay must
+    compile and ship (the r3 turbo_pallas._tiled_maps lesson). The
+    naive build would still cos/sin all nfft*n_sc elements (~28 ms
+    marginal on-device); instead the row index factors as
+    r = r1 + 16*r2, so W^(r*b) = W^(r1*b) * V^(r2*b) with
+    V = W^16 = exp(-2j*pi/(nfft/16)) — the full operator is a
+    broadcast complex product of a [16, n_sc] and a [nfft/16, n_sc]
+    table (~170k transcendentals, then pure VPU multiplies). Integer
+    phase indices are reduced mod the period BEFORE float conversion,
+    keeping trig arguments in [0, 2pi) at full f32 precision."""
+    import jax.numpy as jnp  # traced context
+
+    nfft, half = cell.nfft, cell.n_sc // 2
+    n1 = 16 if nfft % 16 == 0 else 1
+    n2 = nfft // n1
+    bins = jnp.concatenate([
+        jnp.arange(nfft - half, nfft, dtype=jnp.int32),
+        jnp.arange(1, half + 1, dtype=jnp.int32),
+    ])[None, :]
+    f32 = jnp.float32
+    r1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+    r2 = jnp.arange(n2, dtype=jnp.int32)[:, None]
+    p1 = (-2.0 * np.pi / nfft) * ((r1 * bins) % nfft).astype(f32)
+    p2 = (-2.0 * np.pi / n2) * ((r2 * bins) % n2).astype(f32)
+    scale = np.float32(1.0 / np.sqrt(nfft))
+    ar, ai = jnp.cos(p1) * scale, jnp.sin(p1) * scale  # [n1, n_sc]
+    cr, ci = jnp.cos(p2), jnp.sin(p2)                  # [n2, n_sc]
+    mr = (cr[:, None, :] * ar[None, :, :]
+          - ci[:, None, :] * ai[None, :, :]).reshape(nfft, -1)
+    mi = (cr[:, None, :] * ai[None, :, :]
+          + ci[:, None, :] * ar[None, :, :]).reshape(nfft, -1)
+    return mr, mi
+
+
+@functools.lru_cache(maxsize=1)
+def _demod_precision():
+    """MXU pass count for the demod DFT: 'high' (3-pass bf16,
+    f32-equivalent for this dynamic range) unless overridden. 1-pass
+    'default' costs ~2 dB EVM at 64QAM (fft.py header note) — not
+    acceptable at the mcs28 operating point."""
+    name = os.environ.get("SRSUE_TPU_FFT_PRECISION", "high").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def demodulate(cell: Cell, sf_samples: jnp.ndarray) -> jnp.ndarray:
     """Time-domain subframe(s) -> resource grid.
 
@@ -46,6 +100,16 @@ def demodulate(cell: Cell, sf_samples: jnp.ndarray) -> jnp.ndarray:
     sym_td = jnp.stack(
         [sf_samples[..., s : s + nfft] for s in symbol_starts(cell)], axis=-2
     )
+    if _fft._use_matmul():
+        # single fused DFT-select matmul on the MXU ((real, imag) pairs:
+        # complex64 matmul/transposes are UNIMPLEMENTED on axon)
+        mr, mi = _demod_mat(cell)
+        dot = functools.partial(jnp.matmul, precision=_demod_precision())
+        xr = jnp.real(sym_td).astype(jnp.float32)
+        xi = jnp.imag(sym_td).astype(jnp.float32)
+        yr = dot(xr, mr) - dot(xi, mi)
+        yi = dot(xr, mi) + dot(xi, mr)
+        return jax.lax.complex(yr, yi)
     sym_fd = _fft.fft(sym_td, axis=-1) * (1.0 / np.sqrt(nfft))
     half = cell.n_sc // 2
     # sc 0..half-1 <- bins nfft-half.. ; sc half.. <- bins 1..half

@@ -238,6 +238,13 @@ class Phy:
         self.prach_root = root_seq_index
         self.prach_zcorr = zero_corr
 
+    def set_pci(self, pci: int) -> None:
+        """Retune the serving-cell identity (handover §5.3.5.4 /
+        re-establishment cell selection): CRS sequences, scrambling
+        c_init and PDCCH identities all key off the PCI. Jitted stages
+        are cached per Cell value, so the swap re-caches cleanly."""
+        self.cell = replace(self.cell, cell_id=pci)
+
     # -------------------------------------------------------- power scaling
     def _amp(self, p_tx_dbm: float, p0_ref_dbm: float, n_prb: int = 1) -> float:
         """dBm -> waveform amplitude, normalized so the zero-pathloss
@@ -403,6 +410,13 @@ class Phy:
             if ok and self.mac.ra.state.name == "CONTENTION_RESOLUTION":
                 g = dci.rar_to_ul_grant(self.cell, self.mac.ra.last_rar.grant)
                 self._ul_sched[tti + HARQ_DELAY] = ("new", g, self.mac.temp_crnti)
+            elif ok and self.mac.ra.state.name == "COMPLETION":
+                # contention-free RA (handover dedicated preamble,
+                # 36.321 §5.1.5): no Msg3/contention — the RAR's UL
+                # grant carries the FIRST UL transmission on the target
+                # (the ReconfigurationComplete on SRB1)
+                g = dci.rar_to_ul_grant(self.cell, self.mac.ra.last_rar.grant)
+                self._ul_sched[tti + HARQ_DELAY] = ("new", g, self.mac.crnti)
 
     # ------------------------------------------------------------ per-TTI UL
     def _assemble_ul(self, tti: int) -> np.ndarray | None:

@@ -872,8 +872,160 @@ SecurityConfigHO = Seq(
     ext=True,
 )
 
+# --------------------------------------------------------------------------
+# Measurements (36.331 §5.5 + §6.3.5) — capability-plus: the reference
+# IGNORES measConfig entirely (rrc.cc handles no measurement IEs); here
+# the full EUTRA intra-frequency set is implemented to close the
+# A3 -> MeasurementReport -> handover loop. Inter-RAT alternatives stay
+# `Unsupported` placeholders (absent from srsUE's surface too).
+# --------------------------------------------------------------------------
+
+PhysCellId = Int(0, 503)
+RSRP_Range = Int(0, 97)   # 36.133 §9.1.4: value = floor(rsrp_dbm + 141)
+RSRQ_Range = Int(0, 34)
+Hysteresis = Int(0, 30)   # 0.5 dB steps
+MeasObjectId = Int(1, 32)
+ReportConfigId = Int(1, 32)
+MeasId = Int(1, 32)
+Q_OffsetRange = Enum(
+    "dB_24", "dB_22", "dB_20", "dB_18", "dB_16", "dB_14", "dB_12", "dB_10",
+    "dB_8", "dB_6", "dB_5", "dB_4", "dB_3", "dB_2", "dB_1", "dB0", "dB1",
+    "dB2", "dB3", "dB4", "dB5", "dB6", "dB8", "dB10", "dB12", "dB14",
+    "dB16", "dB18", "dB20", "dB22", "dB24",
+)
+TimeToTrigger = Enum(
+    "ms0", "ms40", "ms64", "ms80", "ms100", "ms128", "ms160", "ms256",
+    "ms320", "ms480", "ms512", "ms640", "ms1024", "ms1280", "ms2560",
+    "ms5120",
+)
+ReportInterval = Enum(
+    "ms120", "ms240", "ms480", "ms640", "ms1024", "ms2048", "ms5120",
+    "ms10240", "min1", "min6", "min12", "min30", "min60", "spare3",
+    "spare2", "spare1",
+)
+FilterCoefficient = Enum(
+    "fc0", "fc1", "fc2", "fc3", "fc4", "fc5", "fc6", "fc7", "fc8", "fc9",
+    "fc11", "fc13", "fc15", "fc17", "fc19", "spare1", ext=True,
+)
+CellIndexList = SeqOf(Int(1, 32), 1, 32)
+CellsToAddMod = Seq(
+    ("cellIndex", Int(1, 32)),
+    ("physCellId", PhysCellId),
+    ("cellIndividualOffset", Q_OffsetRange),
+)
+PhysCellIdRange = Seq(
+    ("start", PhysCellId),
+    ("range", Enum("n4", "n8", "n12", "n16", "n24", "n32", "n48", "n64",
+                   "n84", "n96", "n128", "n168", "n252", "n504", "spare2",
+                   "spare1"), OPT),
+)
+BlackCellsToAddMod = Seq(
+    ("cellIndex", Int(1, 32)),
+    ("physCellIdRange", PhysCellIdRange),
+)
+MeasObjectEUTRA = Seq(
+    ("carrierFreq", ARFCN_ValueEUTRA),
+    ("allowedMeasBandwidth", Enum("mbw6", "mbw15", "mbw25", "mbw50",
+                                  "mbw75", "mbw100")),
+    ("presenceAntennaPort1", Bool()),
+    ("neighCellConfig", BitStr(2)),
+    ("offsetFreq", Q_OffsetRange, OPT, "dB0"),
+    ("cellsToRemoveList", CellIndexList, OPT),
+    ("cellsToAddModList", SeqOf(CellsToAddMod, 1, 32), OPT),
+    ("blackCellsToRemoveList", CellIndexList, OPT),
+    ("blackCellsToAddModList", SeqOf(BlackCellsToAddMod, 1, 32), OPT),
+    ("cellForWhichToReportCGI", PhysCellId, OPT),
+    ext=True,
+)
+ThresholdEUTRA = Choice(
+    ("threshold_RSRP", RSRP_Range),
+    ("threshold_RSRQ", RSRQ_Range),
+)
+ReportConfigEUTRA = Seq(
+    ("triggerType", Choice(
+        ("event", Seq(
+            ("eventId", Choice(
+                ("eventA1", Seq(("a1_Threshold", ThresholdEUTRA))),
+                ("eventA2", Seq(("a2_Threshold", ThresholdEUTRA))),
+                ("eventA3", Seq(("a3_Offset", Int(-30, 30)),
+                                ("reportOnLeave", Bool()))),
+                ("eventA4", Seq(("a4_Threshold", ThresholdEUTRA))),
+                ("eventA5", Seq(("a5_Threshold1", ThresholdEUTRA),
+                                ("a5_Threshold2", ThresholdEUTRA))),
+                ext=True,
+            )),
+            ("hysteresis", Hysteresis),
+            ("timeToTrigger", TimeToTrigger),
+        )),
+        ("periodical", Seq(
+            ("purpose", Enum("reportStrongestCells", "reportCGI")),
+        )),
+    )),
+    ("triggerQuantity", Enum("rsrp", "rsrq")),
+    ("reportQuantity", Enum("sameAsTriggerQuantity", "both")),
+    ("maxReportCells", Int(1, 8)),
+    ("reportInterval", ReportInterval),
+    ("reportAmount", Enum("r1", "r2", "r4", "r8", "r16", "r32", "r64",
+                          "infinity")),
+    ext=True,
+)
+MeasObjectToAddMod = Seq(
+    ("measObjectId", MeasObjectId),
+    ("measObject", Choice(
+        ("measObjectEUTRA", MeasObjectEUTRA),
+        ("measObjectUTRA", Unsupported("measObjectUTRA")),
+        ("measObjectGERAN", Unsupported("measObjectGERAN")),
+        ("measObjectCDMA2000", Unsupported("measObjectCDMA2000")),
+        ext=True,
+    )),
+)
+ReportConfigToAddMod = Seq(
+    ("reportConfigId", ReportConfigId),
+    ("reportConfig", Choice(
+        ("reportConfigEUTRA", ReportConfigEUTRA),
+        ("reportConfigInterRAT", Unsupported("reportConfigInterRAT")),
+    )),
+)
+MeasIdToAddMod = Seq(
+    ("measId", MeasId),
+    ("measObjectId", MeasObjectId),
+    ("reportConfigId", ReportConfigId),
+)
+QuantityConfigEUTRA = Seq(
+    ("filterCoefficientRSRP", FilterCoefficient, OPT, "fc4"),
+    ("filterCoefficientRSRQ", FilterCoefficient, OPT, "fc4"),
+)
+QuantityConfig = Seq(
+    ("quantityConfigEUTRA", QuantityConfigEUTRA, OPT),
+    ("quantityConfigUTRA", Unsupported("quantityConfigUTRA"), OPT),
+    ("quantityConfigGERAN", Unsupported("quantityConfigGERAN"), OPT),
+    ("quantityConfigCDMA2000", Unsupported("quantityConfigCDMA2000"), OPT),
+    ext=True,
+)
+MeasGapConfig = Choice(
+    ("release", Null()),
+    ("setup", Seq(("gapOffset", Choice(
+        ("gp0", Int(0, 39)), ("gp1", Int(0, 79)), ext=True,
+    )))),
+)
+MeasConfig = Seq(
+    ("measObjectToRemoveList", SeqOf(MeasObjectId, 1, 32), OPT),
+    ("measObjectToAddModList", SeqOf(MeasObjectToAddMod, 1, 32), OPT),
+    ("reportConfigToRemoveList", SeqOf(ReportConfigId, 1, 32), OPT),
+    ("reportConfigToAddModList", SeqOf(ReportConfigToAddMod, 1, 32), OPT),
+    ("measIdToRemoveList", SeqOf(MeasId, 1, 32), OPT),
+    ("measIdToAddModList", SeqOf(MeasIdToAddMod, 1, 32), OPT),
+    ("quantityConfig", QuantityConfig, OPT),
+    ("measGapConfig", MeasGapConfig, OPT),
+    ("s_Measure", RSRP_Range, OPT),
+    ("preRegistrationInfoHRPD", Unsupported("preRegistrationInfoHRPD"),
+     OPT),
+    ("speedStatePars", Unsupported("speedStatePars"), OPT),
+    ext=True,
+)
+
 RRCConnectionReconfiguration_r8_IEs = Seq(
-    ("measConfig", Unsupported("measConfig"), OPT),
+    ("measConfig", MeasConfig, OPT),
     ("mobilityControlInfo", MobilityControlInfo, OPT),
     ("dedicatedInfoNASList", SeqOf(DedicatedInfoNAS, 1, 11), OPT),
     ("radioResourceConfigDedicated", RadioResourceConfigDedicated, OPT),
@@ -1065,11 +1217,43 @@ ULInformationTransfer = Seq(
         3, "ulInformationTransfer-r8", ULInformationTransfer_r8_IEs)),
 )
 
+# --- MeasurementReport (36.331 §6.2.2; capability-plus, see MeasConfig)
+MeasResultEUTRA = Seq(
+    ("physCellId", PhysCellId),
+    ("cgi_Info", Unsupported("cgi-Info"), OPT),
+    ("measResult", Seq(
+        ("rsrpResult", RSRP_Range, OPT),
+        ("rsrqResult", RSRQ_Range, OPT),
+        ext=True,
+    )),
+)
+MeasResults = Seq(
+    ("measId", MeasId),
+    ("measResultServCell", Seq(
+        ("rsrpResult", RSRP_Range),
+        ("rsrqResult", RSRQ_Range),
+    )),
+    ("measResultNeighCells", Choice(
+        ("measResultListEUTRA", SeqOf(MeasResultEUTRA, 1, 8)),
+        ("measResultListUTRA", Unsupported("measResultListUTRA")),
+        ("measResultListGERAN", Unsupported("measResultListGERAN")),
+        ("measResultsCDMA2000", Unsupported("measResultsCDMA2000")),
+        ext=True,
+    ), OPT),
+    ext=True,
+)
+MeasurementReport = Seq(
+    ("criticalExtensions", crit_ext_c1(
+        7, "measurementReport-r8",
+        Seq(("measResults", MeasResults),
+            ("nonCriticalExtension", Seq(), OPT)))),
+)
+
 UL_DCCH_Message = Seq(("message", Choice(
     ("c1", Choice(
         ("csfbParametersRequestCDMA2000",
          Unsupported("csfbParametersRequestCDMA2000")),
-        ("measurementReport", Unsupported("measurementReport")),
+        ("measurementReport", MeasurementReport),
         ("rrcConnectionReconfigurationComplete",
          RRCConnectionReconfigurationComplete),
         ("rrcConnectionReestablishmentComplete",

@@ -51,6 +51,7 @@ _SHAPE = {
         (True, "rrcConnectionReestablishmentComplete-r8"),
     ("UL-DCCH", "ulInformationTransfer"):
         (False, "ulInformationTransfer-r8"),
+    ("UL-DCCH", "measurementReport"): (False, "measurementReport-r8"),
     ("DL-DCCH", "dlInformationTransfer"): (True, "dlInformationTransfer-r8"),
     ("DL-DCCH", "rrcConnectionReconfiguration"):
         (True, "rrcConnectionReconfiguration-r8"),

@@ -605,6 +605,10 @@ class Rrc:
                 freq_offset=info["prach_FreqOffset"],
                 config_index=info["prach_ConfigIndex"],
             )
+        # retune the PHY to the target cell: CRS/scrambling/PDCCH all
+        # key off the PCI (exercised over the air in test_ota_handover)
+        if self.phy is not None and hasattr(self.phy, "set_pci"):
+            self.phy.set_pci(self.pci)
         # re-key toward the target cell and re-establish the bearers
         if self.usim is not None and self.usim.k_enb is not None:
             self.usim.refresh_as_keys(self.pci, self.earfcn, ncc,
@@ -681,6 +685,8 @@ class Rrc:
         if self.mac is not None and src.get("crnti"):
             self.mac.crnti = src["crnti"]
             self.mac.mux.pending_crnti = None
+        if self.phy is not None and hasattr(self.phy, "set_pci"):
+            self.phy.set_pci(self.pci)
         self._ho_src = None
 
     def step_tti(self) -> None:

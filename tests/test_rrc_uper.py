@@ -295,9 +295,11 @@ def test_roundtrip_info_transfers():
 
 
 def test_unsupported_alternative_raises():
+    # measConfig became a real codec in r4; inter-RAT handover remains a
+    # deliberate Unsupported placeholder (absent from srsUE too)
     with pytest.raises(NotImplementedError):
         M.pack("DL-DCCH", "rrcConnectionReconfiguration", {
-            "measConfig": {"anything": 1},
+            "securityConfigHO": {"handoverType": ("interRAT", {})},
         }, tid=0)
 
 
