@@ -55,6 +55,7 @@ class EnbStack:
         self.events: list[str] = []
         self.attach_request: NM.AttachRequest | None = None
         self.ue_capability: dict | None = None
+        self.meas_reports: list[dict] = []
         self.drb_lcid = 3
         self.ue_ip = "172.16.0.2"
         # serving-cell identity + AS key state for re-establishment
@@ -324,6 +325,20 @@ class EnbStack:
                 (M.parse_ue_eutra_capability(c["ueCapabilityRAT_Container"])
                  for c in caps if c["rat_Type"] == "eutra"), None)
             self._send_reconfiguration_with_attach_accept()
+        elif kind == "measurementReport":
+            mr = body["measResults"]
+            self.meas_reports.append(mr)
+            ncells = mr.get("measResultNeighCells")
+            if (ncells and ncells[0] == "measResultListEUTRA"
+                    and getattr(self, "_meas_auto_ho", False)):
+                best = max(ncells[1],
+                           key=lambda c: c["measResult"].get("rsrpResult", 0))
+                pci = best["physCellId"]
+                self.events.append(f"a3_report_pci{pci}")
+                self._meas_auto_ho = False
+                ncc, ded, crnti = self._meas_ho_cfg
+                self.initiate_handover(pci, crnti, ncc=ncc,
+                                       dedicated_preamble=ded)
         elif kind == "rrcConnectionReconfigurationComplete":
             self.reconfig_complete = True
             if self.state == "wait_ho_complete":
@@ -468,6 +483,63 @@ class EnbStack:
                 },
             },
         }
+
+    # ------------------------------------------------- measurements (§5.5)
+    def configure_measurements(self, neighbor_pcis, a3_offset_db: float = 3.0,
+                               hysteresis_db: float = 1.0, ttt: str = "ms64",
+                               auto_handover: bool = True,
+                               ho_crnti: int | None = None, ncc: int = 1,
+                               dedicated_preamble: int = 7) -> None:
+        """Arm event-A3 measurement reporting on the UE (measConfig in a
+        reconfiguration) and, when auto_handover, answer the first A3
+        report with an intra-LTE handover toward the reported PCI —
+        the closed mobility loop the reference never implements."""
+        mc = {
+            "measObjectToAddModList": [{
+                "measObjectId": 1,
+                "measObject": ("measObjectEUTRA", {
+                    "carrierFreq": self.earfcn,
+                    "allowedMeasBandwidth": "mbw15",
+                    "presenceAntennaPort1": False,
+                    "neighCellConfig": 0,
+                    "cellsToAddModList": [
+                        {"cellIndex": i + 1, "physCellId": pci,
+                         "cellIndividualOffset": "dB0"}
+                        for i, pci in enumerate(neighbor_pcis)
+                    ],
+                }),
+            }],
+            "reportConfigToAddModList": [{
+                "reportConfigId": 1,
+                "reportConfig": ("reportConfigEUTRA", {
+                    "triggerType": ("event", {
+                        "eventId": ("eventA3", {
+                            "a3_Offset": int(round(2 * a3_offset_db)),
+                            "reportOnLeave": False,
+                        }),
+                        "hysteresis": int(round(2 * hysteresis_db)),
+                        "timeToTrigger": ttt,
+                    }),
+                    "triggerQuantity": "rsrp",
+                    "reportQuantity": "sameAsTriggerQuantity",
+                    "maxReportCells": 4,
+                    "reportInterval": "ms480",
+                    "reportAmount": "r1",
+                }),
+            }],
+            "measIdToAddModList": [
+                {"measId": 1, "measObjectId": 1, "reportConfigId": 1}],
+            "quantityConfig": {
+                "quantityConfigEUTRA": {"filterCoefficientRSRP": "fc4"}},
+        }
+        msg = M.pack("DL-DCCH", "rrcConnectionReconfiguration",
+                     {"measConfig": mc}, tid=2)
+        self.pdcp1.write_sdu(msg)
+        self._meas_auto_ho = auto_handover
+        self._meas_ho_cfg = (ncc, dedicated_preamble,
+                             ho_crnti if ho_crnti is not None
+                             else (self.t_crnti ^ 0x4000))
+        self.events.append("meas_configured")
 
     # ------------------------------------------------- intra-LTE handover
     def initiate_handover(self, new_pci: int, new_crnti: int, ncc: int = 1,

@@ -244,6 +244,24 @@ class Phy:
         c_init and PDCCH identities all key off the PCI. Jitted stages
         are cached per Cell value, so the swap re-caches cleanly."""
         self.cell = replace(self.cell, cell_id=pci)
+        self._l1_rsrp = {}  # serving changed: averages restart
+
+    def configure_neighbor_meas(self, pcis) -> None:
+        """RRC measConfig fan-out (§5.5): measure intra-frequency
+        neighbor CRS RSRP for these PCIs every subframe (the L1 part of
+        the A3 loop; L3 filtering happens in the RRC)."""
+        self._meas_pcis = list(pcis)
+        self.neighbor_rsrp_dbm = {}
+        self._l1_rsrp = {}
+
+    def _l1_avg(self, key, lin: float, alpha: float = 0.1) -> float:
+        cache = getattr(self, "_l1_rsrp", None)
+        if cache is None:
+            cache = self._l1_rsrp = {}
+        old = cache.get(key)
+        v = lin if old is None else (1.0 - alpha) * old + alpha * lin
+        cache[key] = v
+        return v
 
     # -------------------------------------------------------- power scaling
     def _amp(self, p_tx_dbm: float, p0_ref_dbm: float, n_prb: int = 1) -> float:
@@ -279,6 +297,21 @@ class Phy:
         rsrp_lin = max(float(to_host(rsrp)), 1e-12)
         nvar_h = max(float(to_host(nvar)), 1e-12)
         snr_db = float(10 * np.log10(max(rsrp_lin / nvar_h, 1e-9)))
+        # L1 measurement averaging (36.133 §9.1.4: RSRP is averaged over
+        # the measurement period, not read per-subframe): an EMA in the
+        # LINEAR domain smooths per-subframe artifacts — e.g. a strong
+        # neighbor's PBCH/PSS REs colliding with serving CRS once per
+        # frame would otherwise spike the estimate and reset the RRC's
+        # A3 timeToTrigger every 10 ms
+        self.serving_rsrp_dbm = float(
+            10 * np.log10(self._l1_avg("serv", rsrp_lin)))
+        # intra-frequency neighbor RSRP from the same grid, keyed by the
+        # neighbor's CRS sequence (measConfig fan-out; §5.5 L1 part)
+        for n_pci in getattr(self, "_meas_pcis", ()):
+            ncell = replace(self.cell, cell_id=n_pci)
+            _, _, n_rsrp = chest.estimate(ncell, grid, sf, port=0)
+            v = self._l1_avg(n_pci, max(float(to_host(n_rsrp)), 1e-12))
+            self.neighbor_rsrp_dbm[n_pci] = float(10 * np.log10(v))
         self.metrics["snr_db"] = snr_db
         self.ul_ctrl.update_snr(snr_db)
         self.pathloss_db = self.ref_sig_power_dbm - 10 * np.log10(rsrp_lin)

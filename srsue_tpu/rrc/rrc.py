@@ -101,6 +101,13 @@ class Rrc:
         self._t304_left = -1  # handover supervision timer (§5.3.5)
         self._pending_ho_complete: int | None = None
         self._reestablishing = False
+        # measurement configuration + trigger state (§5.5)
+        self.meas_objects: dict[int, dict] = {}
+        self.meas_reports: dict[int, dict] = {}
+        self.meas_ids: dict[int, tuple[int, int]] = {}
+        self._meas_state: dict[int, dict] = {}
+        self._meas_filter: dict = {}  # L3-filtered RSRP dBm per cell key
+        self._meas_fc_a = 0.5  # filterCoefficient fc4
 
     # ------------------------------------------------------------- kickoff
     def connect(self) -> None:
@@ -405,6 +412,8 @@ class Rrc:
         if body.get("mobilityControlInfo") is not None:
             self._handle_handover(body, tid)
             return
+        if body.get("measConfig") is not None:
+            self._apply_meas_config(body["measConfig"])
         rrcd = body.get("radioResourceConfigDedicated") or {}
         if rrcd.get("physicalConfigDedicated"):
             self._apply_physical_dedicated(rrcd["physicalConfigDedicated"])
@@ -459,6 +468,142 @@ class Rrc:
                 ent = self.pdcp.entities.get(lcid)
                 if ent is not None and not ent.cfg.is_control:
                     ent.send_status()
+
+    # ----------------------------------------------- measurements (§5.5)
+    # Capability-plus: the reference IGNORES measConfig entirely (no
+    # measurement IE handling anywhere in rrc.cc); this implements the
+    # intra-frequency EUTRA subset — measObjectEUTRA neighbor lists,
+    # reportConfigEUTRA event A3 with hysteresis + timeToTrigger, L3
+    # filtering (§5.5.3.2), MeasurementReport on SRB1 — closing the
+    # A3 -> report -> handover loop with the eNB emulator.
+
+    _QOFF_DB = {f"dB{v}": float(v) for v in (
+        0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24)} | {
+        f"dB_{v}": -float(v) for v in (
+            1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24)}
+
+    def _apply_meas_config(self, mc: dict) -> None:
+        for oid in mc.get("measObjectToRemoveList") or []:
+            self.meas_objects.pop(oid, None)
+        for om in mc.get("measObjectToAddModList") or []:
+            kind, obj = om["measObject"]
+            if kind != "measObjectEUTRA":
+                continue
+            cells = {}
+            for c in obj.get("cellsToAddModList") or []:
+                cells[c["physCellId"]] = self._QOFF_DB.get(
+                    c["cellIndividualOffset"], 0.0)
+            self.meas_objects[om["measObjectId"]] = {
+                "carrierFreq": obj["carrierFreq"],
+                "cells": cells,
+                "offset_freq": self._QOFF_DB.get(
+                    obj.get("offsetFreq", "dB0"), 0.0),
+            }
+        for rid in mc.get("reportConfigToRemoveList") or []:
+            self.meas_reports.pop(rid, None)
+        for rm in mc.get("reportConfigToAddModList") or []:
+            kind, rc = rm["reportConfig"]
+            if kind != "reportConfigEUTRA":
+                continue
+            self.meas_reports[rm["reportConfigId"]] = rc
+        for mid in mc.get("measIdToRemoveList") or []:
+            self.meas_ids.pop(mid, None)
+            self._meas_state.pop(mid, None)
+        for im in mc.get("measIdToAddModList") or []:
+            self.meas_ids[im["measId"]] = (im["measObjectId"],
+                                           im["reportConfigId"])
+            self._meas_state[im["measId"]] = {"ttt": 0, "fired": False}
+        qc = (mc.get("quantityConfig") or {}).get("quantityConfigEUTRA")
+        if qc:
+            fc = int(str(qc.get("filterCoefficientRSRP", "fc4"))[2:])
+            # §5.5.3.2: F_n = (1-a)*F_{n-1} + a*M_n, a = 1/2^(k/4)
+            self._meas_fc_a = 1.0 / (2 ** (fc / 4.0))
+        pcis = sorted({p for o in self.meas_objects.values()
+                       for p in o["cells"]})
+        if self.phy is not None and hasattr(self.phy,
+                                            "configure_neighbor_meas"):
+            self.phy.configure_neighbor_meas(pcis)
+
+    def _l3_filter(self, key, raw_dbm: float) -> float:
+        a = self._meas_fc_a
+        old = self._meas_filter.get(key)
+        f = raw_dbm if old is None else (1.0 - a) * old + a * raw_dbm
+        self._meas_filter[key] = f
+        return f
+
+    def step_measurements(self) -> None:
+        """Per-TTI A3 evaluation over the PHY's L1 measurements."""
+        phy = self.phy
+        if (phy is None or not self.meas_ids
+                or self.state != RrcState.CONNECTED):
+            return
+        serv_raw = getattr(phy, "serving_rsrp_dbm", None)
+        if serv_raw is None:
+            return
+        ms = self._l3_filter("serv", serv_raw)
+        neigh = {pci: self._l3_filter(pci, dbm) for pci, dbm in
+                 getattr(phy, "neighbor_rsrp_dbm", {}).items()}
+        for mid, (oid, rid) in self.meas_ids.items():
+            obj = self.meas_objects.get(oid)
+            rc = self.meas_reports.get(rid)
+            if not obj or not rc or rc["triggerType"][0] != "event":
+                continue
+            ev = rc["triggerType"][1]
+            if ev["eventId"][0] != "eventA3":
+                continue
+            off = ev["eventId"][1]["a3_Offset"] * 0.5  # 0.5 dB units
+            hys = ev["hysteresis"] * 0.5
+            ttt_ms = _ie_ms(ev["timeToTrigger"], 0)
+            st = self._meas_state.setdefault(mid, {"ttt": 0, "fired": False})
+            entering = []
+            all_left = True
+            for pci, ocn in obj["cells"].items():
+                if pci not in neigh:
+                    continue
+                mn = neigh[pci]
+                # §5.5.4.4: A3-1 entry Mn+Ofn+Ocn-Hys > Ms+Ofs+Ocs+Off
+                if mn + ocn - hys > ms + off:
+                    entering.append((mn, pci))
+                # A3-2 leave: Mn+Ofn+Ocn+Hys < Ms+Ofs+Ocs+Off
+                if not (mn + ocn + hys < ms + off):
+                    all_left = False
+            if entering:
+                if not st["fired"]:
+                    st["ttt"] += 1
+                    if st["ttt"] > ttt_ms:
+                        st["fired"] = True
+                        mn, pci = max(entering)
+                        self._send_meas_report(mid, ms, pci, mn)
+            else:
+                st["ttt"] = 0
+                if all_left:
+                    st["fired"] = False  # re-arm after leaving
+
+    @staticmethod
+    def _rsrp_range(dbm: float) -> int:
+        """36.133 §9.1.4 RSRP-Range: 0 = < -140 dBm ... 97 = >= -44."""
+        return max(0, min(97, int(round(dbm + 141))))
+
+    def _send_meas_report(self, mid: int, ms_dbm: float, pci: int,
+                          mn_dbm: float) -> None:
+        # RSRQ-Range (36.133 §9.1.7): 0 = < -19.5 dB, 34 = >= -3 dB.
+        # Derived from the measured SINR (RSRQ ~ -10log10(12) + SINR-ish
+        # for a lightly-loaded cell); good enough for reporting.
+        snr_db = float(getattr(self.phy, "metrics", {}).get("snr_db", 0.0))
+        rsrq_db = max(-19.5, min(-3.0, -10.8 + snr_db / 4.0))
+        rsrq = int(round(2 * (rsrq_db + 19.5)))
+        msg = M.pack("UL-DCCH", "measurementReport", {"measResults": {
+            "measId": mid,
+            "measResultServCell": {
+                "rsrpResult": self._rsrp_range(ms_dbm),
+                "rsrqResult": rsrq,
+            },
+            "measResultNeighCells": ("measResultListEUTRA", [{
+                "physCellId": pci,
+                "measResult": {"rsrpResult": self._rsrp_range(mn_dbm)},
+            }]),
+        }})
+        self.pdcp.write_sdu(1, msg)
 
     # ----------------------------------------------- NAS uplink transport
     def write_sdu_nas(self, nas_pdu: bytes) -> None:
@@ -707,6 +852,7 @@ class Rrc:
             self._t310_left -= 1
             if self._t310_left < 0:
                 self.radio_link_failure("otherFailure")
+        self.step_measurements()
 
     # -------- radio-link monitoring (§5.3.11.1-2; counters are stepped
     # by per-subframe sync-quality indications from the receiver)
