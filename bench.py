@@ -102,7 +102,7 @@ def add_noise(rng, td, p_sig, snr_db):
 
 
 def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
-            early_exit: bool):
+            early_exit: bool, eq: str = "zf"):
     """The full honest per-TTI chain as ONE jitted function."""
     import jax.numpy as jnp
 
@@ -114,6 +114,7 @@ def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
                        n_turbo_iters=8, early_exit=early_exit)
     dci_len = dci.size_0_1a(cell.n_prb)
     exp_dci = jnp.asarray(dci_bits.astype(np.float32))
+    eq_fn = equalize.mmse if eq == "mmse" else equalize.zf
 
     def rx(iq_p):
         # IQ crosses host->device as float32 [..., 2] pairs: the axon
@@ -122,7 +123,7 @@ def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
         grid = ofdm.demodulate(cell, iq)
         h, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
         # control region: full-grid equalize -> PCFICH -> blind search
-        g_eq, nv_grid = equalize.zf(grid, h, nvar)
+        g_eq, nv_grid = eq_fn(grid, h, nvar)
         cfi_dev, _ = control.pcfich_decode(cell, g_eq, nv_grid, subframe)
         hard, ok = control.pdcch_blind_batch(
             cell, g_eq, nv_grid, subframe, cfi, rnti, dci_len)
@@ -131,8 +132,8 @@ def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
         match = jnp.all(hard.astype(jnp.float32) == exp_dci, axis=-1) & ok
         n_dci = jnp.sum(jnp.any(match, axis=-1).astype(jnp.float32))
         cfi_ok = jnp.sum((cfi_dev == cfi).astype(jnp.float32))
-        # data: PDSCH extract + ZF + decode
-        x_eq, nv_eff = equalize.zf(
+        # data: PDSCH extract + equalize + decode
+        x_eq, nv_eff = eq_fn(
             codec.extract_re(grid), codec.extract_re(h), nvar
         )
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
@@ -150,6 +151,61 @@ def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
                  .at[0, 2].set(mean_iters).at[0, 3].set(n_dci)
                  .at[0, 4].set(cfi_ok))
         return stats
+
+    return rx
+
+
+def build_tm2(B: int):
+    """B TM2 (SFBC 2-port) max-TBS subframes at 20 MHz (BASELINE ladder
+    config 4: '20 MHz TM2 Alamouti')."""
+    from srsue_tpu.phy import enb_tx, ra
+    from srsue_tpu.phy.cell import Cell
+    from srsue_tpu.phy.pdsch import PdschCodec
+
+    cell = Cell(n_prb=100, cell_id=42, n_ports=2)
+    grant = ra.dl_grant(cell.n_prb, 28)
+    subframe = 6
+    rnti = 0x1234
+    codec = PdschCodec(cell, grant, rnti=rnti, subframe=subframe, cfi=1,
+                       n_turbo_iters=8, early_exit=False)
+    rng = np.random.default_rng(1)
+    payloads = np.stack([rng.integers(0, 2, grant.tbs).astype(np.uint8)
+                         for _ in range(B)])
+    tds = []
+    for pl in payloads:
+        grids = enb_tx.build_pdsch_subframe(cell, codec, pl, tm2=True)
+        tds.append(np.sum(enb_tx.to_waveform(cell, grids), axis=0))
+    td = np.stack(tds)
+    p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
+    return cell, grant, subframe, rnti, codec, payloads, td, p_sig, rng
+
+
+def make_tm2_rx(cell, codec, subframe, expected):
+    """TM2 data-path chain: demod -> 2-port chest -> SFBC combine ->
+    decode (the ue_dl.py TM2 path at benchmark scale)."""
+    import jax.numpy as jnp
+
+    from srsue_tpu.phy import chest, equalize, ofdm
+    from srsue_tpu.utils.jaxutil import iq_complex
+
+    def rx(iq_p):
+        iq = iq_complex(iq_p)
+        grid = ofdm.demodulate(cell, iq)
+        h0, nvar, _ = chest.estimate(cell, grid, subframe, port=0)
+        h1, _, _ = chest.estimate(cell, grid, subframe, port=1)
+        x_eq, nv_eff = equalize.alamouti_combine(
+            codec.extract_re(grid), codec.extract_re(h0),
+            codec.extract_re(h1), nvar)
+        payload, tb_ok, _, iters = codec.decode(x_eq, nv_eff)
+        n_ok = jnp.sum(tb_ok.astype(jnp.float32))
+        bit_match = jnp.mean(
+            jnp.where(tb_ok[:, None],
+                      (payload.astype(jnp.float32)
+                       == jnp.asarray(expected)).astype(jnp.float32),
+                      1.0))
+        stats = jnp.zeros((8, 128), jnp.float32)
+        return (stats.at[0, 0].set(n_ok).at[0, 1].set(bit_match)
+                .at[0, 2].set(jnp.mean(iters.astype(jnp.float32))))
 
     return rx
 
@@ -175,15 +231,19 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
         probe = jnp.zeros((8, 128), jnp.float32) + out
         return np.asarray(probe)
 
-    def timed(jf, iq, label, want_all_ok=True):
+    def timed(jf, iq, label, want_all_ok=True, nb=None, control_ok=True,
+              tbs=None):
+        nb = B if nb is None else nb
+        tbs = grant.tbs if tbs is None else tbs
         t0 = time.time()
         s = run_and_read(jf, iq)
         t_first = time.time() - t0
         if want_all_ok:
-            assert s[0, 0] == B, f"{label}: decode failed {s[0,0]}/{B}"
+            assert s[0, 0] == nb, f"{label}: decode failed {s[0,0]}/{nb}"
         assert s[0, 1] == 1.0, f"{label}: payload mismatch {s[0,1]}"
-        assert s[0, 3] == B, f"{label}: blind DCI found {s[0,3]}/{B}"
-        assert s[0, 4] == B, f"{label}: CFI decode {s[0,4]}/{B}"
+        if control_ok:
+            assert s[0, 3] == nb, f"{label}: blind DCI found {s[0,3]}/{nb}"
+            assert s[0, 4] == nb, f"{label}: CFI decode {s[0,4]}/{nb}"
         # serial dispatch -> compute -> readback per batch. (Double-
         # buffered pipelining was measured WORSE here — 136.9 vs 128.1 ms
         # at the flagship shape — because the axon relay serializes
@@ -207,35 +267,78 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
         if xprof_dir and getattr(ctx, "errors", None):
             print(f"[{device_kind}] {ctx.errors[0]}", file=sys.stderr)
         ok = float(s[0, 0])
-        mbps = ok * grant.tbs / dt / 1e6
-        print(f"[{device_kind}] {label}: {dt*1e3:.2f} ms/batch({B}sf) "
-              f"ok={ok:.0f}/{B} iters={s[0,2]:.2f} -> {mbps:.1f} Mbps "
+        mbps = ok * tbs / dt / 1e6
+        print(f"[{device_kind}] {label}: {dt*1e3:.2f} ms/batch({nb}sf) "
+              f"ok={ok:.0f}/{nb} iters={s[0,2]:.2f} -> {mbps:.1f} Mbps "
               f"(first+compile {t_first:.0f}s)", file=sys.stderr, flush=True)
-        return {"mbps": mbps, "dt_ms": dt * 1e3, "bler": 1.0 - ok / B,
-                "iters": float(s[0, 2])}
+        return {"mbps": mbps, "dt_ms": dt * 1e3, "bler": 1.0 - ok / nb,
+                "iters": float(s[0, 2]), "compile_s": t_first}
 
     rx_forced = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
                                 expected, early_exit=False))
     rx_ee = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
                             expected, early_exit=True))
+    # waterfall runs the MMSE equalizer (VERDICT r3 item 5): at the BLER
+    # cliff the regularized combiner buys real BLER vs plain ZF
+    rx_mmse = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
+                              expected, early_exit=True, eq="mmse"))
 
     r_forced = timed(rx_forced, iq_op, "8iter-forced")
     r_ee = timed(rx_ee, iq_op, "early-exit@26dB")
-    r_wf = timed(rx_ee, iq_wf, f"waterfall@{SNR_WATERFALL:.0f}dB",
+    r_wf = timed(rx_mmse, iq_wf, f"waterfall-mmse@{SNR_WATERFALL:.0f}dB",
                  want_all_ok=False)
     assert 0.0 <= r_wf["bler"] < 0.6, f"waterfall BLER off: {r_wf['bler']}"
+
+    # sustained PIPELINED throughput: n_rep batches in flight, block
+    # once — the streaming-deployment number (a continuous receiver
+    # never synchronizes the host between batches; the sync numbers
+    # above carry ~25-30 ms of per-call relay dispatch+readback that a
+    # directly-attached chip wouldn't)
+    t0 = time.time()
+    outs = [rx_forced(iq_op) for _ in range(n_rep)]
+    jax.block_until_ready(outs)
+    dt_pipe = (time.time() - t0) / n_rep
+    s = np.asarray(outs[-1] + jnp.zeros((8, 128), jnp.float32))
+    assert s[0, 0] == B and s[0, 1] == 1.0
+    pipe_mbps = float(s[0, 0]) * grant.tbs / dt_pipe / 1e6
+    print(f"[{device_kind}] 8iter-pipelined: {dt_pipe*1e3:.2f} ms/batch "
+          f"-> {pipe_mbps:.1f} Mbps", file=sys.stderr, flush=True)
+
+    # 32-carrier realtime-latency point (BASELINE ladder config 5, the
+    # single-chip shape: one subframe per carrier per 1-ms TTI). dt <=
+    # 32 ms means a chip keeps up with 32 carriers in pipelined steady
+    # state at this (blind-search + forced-8-iter) operating point.
+    n_c = min(32, B)
+    rx_c32 = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
+                             expected[:n_c], early_exit=False))
+    r_c32 = timed(rx_c32, iq_op[:n_c], f"carriers{n_c}x1sf", nb=n_c)
+
+    # TM2 Alamouti point (BASELINE ladder config 4), data-path chain
+    B2 = min(B, 64)
+    (cell2, grant2, sf2, rnti2, codec2, pl2, td2, p2, rng2) = build_tm2(B2)
+    iq2 = jnp.asarray(iq_pairs(add_noise(rng2, td2, p2,
+                                         SNR_OPERATING + 2)))
+    rx2 = jax.jit(make_tm2_rx(cell2, codec2, sf2, pl2.astype(np.float32)))
+    r_tm2 = timed(rx2, iq2, "tm2-alamouti", nb=B2, control_ok=False,
+                  tbs=grant2.tbs)
 
     msamp = B * cell.sf_len / (r_forced["dt_ms"] / 1e3) / 1e6
     return {
         "mbps": r_forced["mbps"],
         "msamples": msamp,
         "dt_ms": r_forced["dt_ms"],
+        "compile_s": r_forced["compile_s"],
+        "pipelined_mbps": pipe_mbps,
         "early_exit_mbps": r_ee["mbps"],
         "early_exit_iters": r_ee["iters"],
         "waterfall_mbps": r_wf["mbps"],
         "waterfall_bler": r_wf["bler"],
         "waterfall_iters": r_wf["iters"],
         "waterfall_snr_db": SNR_WATERFALL,
+        "waterfall_eq": "mmse",
+        "tm2_mbps": r_tm2["mbps"],
+        "carriers32_ms": r_c32["dt_ms"],
+        "carriers32_mbps": r_c32["mbps"],
     }
 
 
@@ -297,11 +400,18 @@ def main() -> None:
                 "vs_baseline": round(result["mbps"] / BASELINE_MBPS, 3),
                 "platform": platform,
                 "msamples_per_s": round(result["msamples"], 1),
+                "compile_s": round(result.get("compile_s", 0.0), 1),
+                "pipelined_mbps": round(result.get("pipelined_mbps", 0.0), 2),
                 "early_exit_26db_mbps": round(result["early_exit_mbps"], 2),
                 "waterfall_mbps": round(result["waterfall_mbps"], 2),
                 "waterfall_bler": round(result["waterfall_bler"], 4),
                 "waterfall_snr_db": result["waterfall_snr_db"],
                 "waterfall_iters": round(result["waterfall_iters"], 2),
+                "waterfall_eq": result.get("waterfall_eq", "zf"),
+                "tm2_mbps": round(result.get("tm2_mbps", 0.0), 2),
+                "carriers32_ms": round(result.get("carriers32_ms", 0.0), 2),
+                "carriers32_mbps": round(result.get("carriers32_mbps", 0.0),
+                                         2),
             }
         ),
         flush=True,

@@ -101,8 +101,8 @@ class EnbPhy:
         # the stack's ConnectionSetup carries cqi_pmi_ConfigIndex=40 on
         # PUCCH resource 0; armed when the UE ACKs Msg4, i.e. after it
         # applied the dedicated config)
-        self.dedicated_cqi: tuple[int, int] | None = (40, 0)
-        self.cqi_cfg: tuple[int, int] | None = None  # (index, n_pucch)
+        self.dedicated_cqi: tuple | None = (40, 0)  # (index, n_pucch)
+        self.cqi_cfg: tuple | None = None  # (index, n_pucch, subband_k)
         self.srs_cfg: tuple[int, int] | None = None  # (index, n_prb_srs)
         self.cqi_reports: list[tuple[int, int]] = []  # (tti, cqi)
         self.srs_detects: list[tuple[int, float]] = []
@@ -346,10 +346,9 @@ class EnbPhy:
             from ..phy import uci as ucimod
 
             bits, conf = ucimod.decode_format2(
-                self.cell, grid, sf, self.cqi_cfg[1], n_bits=4)
-            cqi = int("".join(map(str, bits)), 2) if len(bits) else 0
-            self.cqi_reports.append((tti, cqi))
-            self.events.append(f"cqi_{cqi}")
+                self.cell, grid, sf, self.cqi_cfg[1],
+                n_bits=self._cqi_n_bits(tti))
+            self._record_cqi(tti, bits)
         if self.srs_cfg is not None:
             from ..phy import srs as srsmod
 
@@ -365,13 +364,44 @@ class EnbPhy:
 
         return cqi_opportunity(self.cqi_cfg[0], tti)
 
+    def _cqi_n_bits(self, tti: int) -> int:
+        """Payload size of this TTI's periodic report — both ends derive
+        it from the shared schedule (wideband 4; Mode 2-0 subband
+        4 + label bits)."""
+        from ..phy import ue_ul_ctrl as uc
+
+        idx, _, sub_k = self.cqi_cfg
+        kind = uc.cqi_report_kind(idx, tti, self.cell.n_prb, sub_k)
+        if kind is not None and kind[0] == "sb":
+            return 4 + uc.subband_label_bits(self.cell.n_prb)
+        return 4
+
+    def _record_cqi(self, tti: int, bits) -> None:
+        from ..phy import ue_ul_ctrl as uc
+
+        if not len(bits):
+            return
+        idx, _, sub_k = self.cqi_cfg
+        kind = uc.cqi_report_kind(idx, tti, self.cell.n_prb, sub_k)
+        cqi = int("".join(map(str, bits[:4].astype(int))), 2)
+        if kind is not None and kind[0] == "sb":
+            label = int("".join(map(str, bits[4:].astype(int))), 2)
+            self.cqi_reports.append((tti, "sb", kind[1], label, cqi))
+            self.events.append(f"cqi_sb{kind[1]}_{label}_{cqi}")
+        else:
+            self.cqi_reports.append((tti, cqi))
+            self.events.append(f"cqi_{cqi}")
+
     def _harq_ack_result(self, ack: bool, rec: _DlTx, tti: int) -> None:
         if ack:
             self.events.append("dl_ack")
             if rec.temp_crnti and self.dedicated_cqi is not None:
                 # Msg4 ACKed: the UE has applied the dedicated config ->
-                # start decoding its periodic CQI reports
-                self.cqi_cfg = self.dedicated_cqi
+                # start decoding its periodic CQI reports (format picked
+                # up from the stack's ConnectionSetup: wideband or
+                # subbandCQI(k))
+                self.cqi_cfg = (*self.dedicated_cqi[:2],
+                                getattr(self.stack, "cqi_format_k", None))
             return
         self.events.append("dl_nack")
         if rec.n_tx >= self.MAX_DL_TX:
@@ -401,7 +431,7 @@ class EnbPhy:
         self._next_tpc = 3 if err > 2.0 else (2 if err > 0.5 else
                                               (0 if err < -0.5 else 1))
         with_ack = ack_entry is not None
-        n_cqi = 4 if cqi_due else 0
+        n_cqi = self._cqi_n_bits(tti) if cqi_due else 0
         codec = pusch.PuschCodec(
             self.cell, replace(grant, rv=RV_SEQ[irv]), self.crnti, tti % 10,
             with_ack=with_ack, n_cqi_bits=n_cqi,
@@ -419,9 +449,7 @@ class EnbPhy:
             if with_ack:
                 self._harq_ack_result(bool(ack), ack_entry[1], tti)
             if cqi_due and cqi_bits is not None:
-                cqi = int("".join(map(str, cqi_bits.astype(int))), 2)
-                self.cqi_reports.append((tti, cqi))
-                self.events.append(f"cqi_{cqi}")
+                self._record_cqi(tti, np.asarray(cqi_bits))
         if good:
             self._ul_soft.pop(pid, None)
             raw = np.packbits(to_host(bits)[0].astype(np.uint8)).tobytes()

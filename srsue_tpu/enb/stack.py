@@ -56,6 +56,9 @@ class EnbStack:
         self.attach_request: NM.AttachRequest | None = None
         self.ue_capability: dict | None = None
         self.meas_reports: list[dict] = []
+        # periodic-CQI format the ConnectionSetup configures: None =
+        # widebandCQI, K = subbandCQI(k) Mode 2-0 (set before attach)
+        self.cqi_format_k: int | None = None
         self.drb_lcid = 3
         self.ue_ip = "172.16.0.2"
         # serving-cell identity + AS key state for re-establishment
@@ -199,8 +202,10 @@ class EnbStack:
                             "cqi_ReportPeriodic": ("setup", {
                                 "cqi_PUCCH_ResourceIndex": 0,
                                 "cqi_pmi_ConfigIndex": 40,
-                                "cqi_FormatIndicatorPeriodic":
-                                    ("widebandCQI", None),
+                                "cqi_FormatIndicatorPeriodic": (
+                                    ("subbandCQI", {"k": self.cqi_format_k})
+                                    if self.cqi_format_k
+                                    else ("widebandCQI", None)),
                                 "simultaneousAckNackAndCQI": False,
                             }),
                         },

@@ -218,11 +218,15 @@ class Phy:
     def configure_ul_power(self, cfg: UlPowerConfig):
         self.ul_power = UlPower(cfg)
 
-    def configure_cqi(self, cqi_config_index: int, n_pucch_cqi: int = 1):
+    def configure_cqi(self, cqi_config_index: int, n_pucch_cqi: int = 1,
+                      subband_k: int | None = None):
         """Dedicated cqi-ReportPeriodic fan-out (rrc.cc dedicated config;
-        phch_worker.cc:479-527 set_uci_periodic_cqi)."""
+        phch_worker.cc:479-527 set_uci_periodic_cqi incl. the
+        format_is_subband flag, phch_worker.cc:755)."""
         self.ul_ctrl.cfg.cqi_config_index = cqi_config_index
         self.ul_ctrl.cfg.cqi_pucch_resource = n_pucch_cqi
+        self.ul_ctrl.cfg.cqi_subband_k = subband_k
+        self.ul_ctrl.cfg.n_prb = self.cell.n_prb
 
     def configure_sr(self, sr_config_index: int, n_pucch_sr: int = 0):
         self.ul_ctrl.cfg.sr_config_index = sr_config_index
@@ -297,6 +301,23 @@ class Phy:
         rsrp_lin = max(float(to_host(rsrp)), 1e-12)
         nvar_h = max(float(to_host(nvar)), 1e-12)
         snr_db = float(10 * np.log10(max(rsrp_lin / nvar_h, 1e-9)))
+        # per-subband SNR for Mode 2-0 UE-selected reports (§7.2.2):
+        # mean |h|^2 per subband of k PRBs over the subframe's symbols
+        if self.ul_ctrl.cfg.cqi_subband_k is not None:
+            from .ue_ul_ctrl import subband_count, subband_geometry
+
+            k_sb, _ = subband_geometry(self.cell.n_prb)
+            n_sb = subband_count(self.cell.n_prb)
+            hp = jnp.mean(jnp.abs(h).astype(jnp.float32) ** 2, axis=0)
+            pad = n_sb * k_sb * 12 - hp.shape[0]
+            counts = np.minimum(
+                np.full(n_sb, k_sb * 12), 12 * self.cell.n_prb
+                - 12 * k_sb * np.arange(n_sb)).astype(np.float32)
+            if pad:
+                hp = jnp.concatenate([hp, jnp.zeros((pad,), hp.dtype)])
+            sb = jnp.sum(hp.reshape(n_sb, k_sb * 12), axis=1)
+            sb_h = np.maximum(np.asarray(to_host(sb)) / counts, 1e-12)
+            self.ul_ctrl.update_subband_snr(10 * np.log10(sb_h / nvar_h))
         # L1 measurement averaging (36.133 §9.1.4: RSRP is averaged over
         # the measurement period, not read per-subframe): an EMA in the
         # LINEAR domain smooths per-subframe artifacts — e.g. a strong

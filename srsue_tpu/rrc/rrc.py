@@ -391,8 +391,12 @@ class Rrc:
         per = cqi.get("cqi_ReportPeriodic")
         if (isinstance(per, tuple) and per[0] == "setup"
                 and hasattr(self.phy, "configure_cqi")):
+            fmt = per[1].get("cqi_FormatIndicatorPeriodic")
+            sub_k = (fmt[1]["k"] if isinstance(fmt, tuple)
+                     and fmt[0] == "subbandCQI" else None)
             self.phy.configure_cqi(per[1]["cqi_pmi_ConfigIndex"],
-                                   per[1]["cqi_PUCCH_ResourceIndex"])
+                                   per[1]["cqi_PUCCH_ResourceIndex"],
+                                   subband_k=sub_k)
         srs = phys.get("soundingRS_UL_ConfigDedicated")
         if (isinstance(srs, tuple) and srs[0] == "setup"
                 and hasattr(self.phy, "configure_srs")):

@@ -34,7 +34,7 @@ def test_cqi_srs_power_over_the_air():
     srs_idx, srs_prb = 11, 4
     phy.configure_cqi(cqi_idx, n_pucch_cqi)
     phy.configure_srs(srs_idx, srs_prb)
-    enb.cqi_cfg = (cqi_idx, n_pucch_cqi)
+    enb.cqi_cfg = (cqi_idx, n_pucch_cqi, None)
     enb.srs_cfg = (srs_idx, srs_prb)
     # reports produced during attach under the INITIAL dedicated config
     # (cqi-pmi-ConfigIndex 40: period 40, offset 3) are valid but belong
