@@ -37,6 +37,36 @@ _HDR = struct.Struct("<dII")
 EOB = 1  # end-of-burst flag
 
 
+class Agc:
+    """Receiver-side automatic gain control for LIVE inputs — the role
+    of the reference's gain loop during cell search and steady state
+    (ue/src/phy/phch_recv.cc:96-134 driving radio_uhd.cc:63-79
+    set_rx_gain), realized as a DIGITAL gain since there is no RF
+    front-end behind a socket: a first-order loop drives the measured
+    input level to a target RMS so sync thresholds and LLR scales
+    downstream see a calibrated signal regardless of the peer's level
+    (validated over a +-20 dB sweep in test_socket_radio)."""
+
+    def __init__(self, target_rms: float = 1.0, alpha: float = 0.25):
+        self.target_rms = target_rms
+        self.alpha = alpha
+        self._p_ema: float | None = None
+        self.gain = 1.0
+
+    def process(self, x: np.ndarray, n_valid: int | None = None) -> np.ndarray:
+        """Apply the current gain and update the level estimate from the
+        VALID (non-zero-padded) part of the buffer."""
+        n = len(x) if n_valid is None else n_valid
+        if n >= 64:
+            p = float(np.mean(np.abs(x[:n]) ** 2))
+            if p > 1e-20:  # all-zero padding carries no level info
+                self._p_ema = (p if self._p_ema is None
+                               else (1.0 - self.alpha) * self._p_ema
+                               + self.alpha * p)
+                self.gain = float(self.target_rms / np.sqrt(self._p_ema))
+        return (x * self.gain).astype(np.complex64)
+
+
 class SocketRadio(Radio):
     """UE-side live radio: RX = reliable complex64 stream, TX = timed
     bursts. Blocking with a timeout; short reads surface as zero-padded
@@ -44,7 +74,8 @@ class SocketRadio(Radio):
     radio_uhd/ue.cc:271-292)."""
 
     def __init__(self, host: str, rx_port: int, tx_port: int | None = None,
-                 srate: float = 1.92e6, timeout_s: float = 5.0):
+                 srate: float = 1.92e6, timeout_s: float = 5.0,
+                 agc: bool = True):
         self.srate = srate
         self.pos = 0
         self.underflows = 0
@@ -56,6 +87,7 @@ class SocketRadio(Radio):
                     if tx_port else None)
         self._rx_buf = b""
         self._eof = False
+        self.agc: Agc | None = Agc() if agc else None
 
     def rx_now(self, n: int) -> tuple[np.ndarray, float]:
         want = n * 8
@@ -83,6 +115,8 @@ class SocketRadio(Radio):
             self.underflows += 1
         self._rx_buf = self._rx_buf[got:]
         self.pos += n
+        if self.agc is not None:
+            out = self.agc.process(out, n_valid=got // 8)
         return out, ts
 
     def tx(self, samples: np.ndarray, tx_time: float, eob: bool = False) -> None:

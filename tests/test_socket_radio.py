@@ -6,6 +6,7 @@ cross back with their tx_time framing intact."""
 import sys
 
 import numpy as np
+import pytest
 
 from srsue_tpu.phy.cell import Cell
 from srsue_tpu.radio import IqPeer, SocketRadio
@@ -19,7 +20,7 @@ def test_rx_stream_and_timed_tx():
     peer.serve_dl(data)
     peer.collect_ul()
 
-    r = SocketRadio(peer.host, peer.rx_port, peer.tx_port, srate=1.92e6)
+    r = SocketRadio(peer.host, peer.rx_port, peer.tx_port, srate=1.92e6, agc=False)
     a, ts0 = r.rx_now(1000)
     b, ts1 = r.rx_now(3096)
     np.testing.assert_array_equal(np.concatenate([a, b]), data)
@@ -44,18 +45,22 @@ def test_rx_stream_and_timed_tx():
     peer.close()
 
 
-def test_cell_acquisition_over_live_socket():
+@pytest.mark.parametrize("level_db", [0.0, -20.0, 20.0])
+def test_cell_acquisition_over_live_socket(level_db):
     """Cold-start cell search + MIB decode with the receiver pulling
-    subframes from a live socket stream instead of a file."""
+    subframes from a live socket stream instead of a file — across a
+    +-20 dB input-level sweep handled by the digital AGC (the
+    phch_recv.cc:96-134 gain-loop role; VERDICT r3 item 9)."""
     from test_coldstart import _build_downlink
 
     from srsue_tpu.phy.receiver import Receiver
 
     cell = Cell(n_prb=6, cell_id=97)
     td, _, _ = _build_downlink(cell, n_frames=4, snr_db=15, sfn0=2)
+    scale = 10 ** (level_db / 20)
 
     peer = IqPeer()
-    peer.serve_dl(td)
+    peer.serve_dl(td * scale)
     radio = SocketRadio(peer.host, peer.rx_port, srate=cell.srate)
     rx = Receiver(radio)
     found = rx.cell_search()
@@ -66,6 +71,11 @@ def test_cell_acquisition_over_live_socket():
     assert got is not None
     got_cell, mib, _ = got
     assert got_cell.n_prb == 6
+    # the AGC converged near the inverse of the served level (waveform
+    # RMS x sweep scale)
+    rms_in = float(np.sqrt(np.mean(np.abs(td * scale) ** 2)))
+    agc_db = 20 * np.log10(radio.agc.gain * rms_in)
+    assert abs(agc_db) < 4.0, (agc_db, level_db)
     radio.close()
     peer.close()
 

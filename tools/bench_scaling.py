@@ -4,13 +4,23 @@ mesh (BASELINE.md: "samples/s scaling efficiency measured at 1 chip,
 
 Only one physical TPU chip is reachable in this environment, so the mesh
 is the 8-device virtual CPU platform (the same stand-in SURVEY.md §4
-prescribes for pod slices); the numbers measure SHARDING efficiency —
-how much of ideal linear speedup the carrier-DP program keeps as the
-mesh grows — not absolute throughput (bench.py owns that, on the chip).
+prescribes for pod slices). IMPORTANT caveat baked into the numbers: the
+virtual devices SHARE this host's 2 physical cores, so ideal wall-clock
+speedup is capped at 2x regardless of mesh size — raw `efficiency`
+(t1/(tN*N)) necessarily collapses for N > 2 and says nothing about the
+sharding. Two honest readings are reported per mesh size:
 
-Strong scaling: fixed 16-carrier batch, mesh of 1/2/4/8 devices.
-Prints one JSON line with samples/s per mesh size and parallel
-efficiency vs the 1-device run.
+* `efficiency`      — classic strong-scaling parallel efficiency
+                      (meaningful only up to the core count),
+* `efficiency_vs_cores` — t1 / (tN * min(N, n_cores)): how much of the
+                      CORE-BOUND ideal the sharded program keeps; ~1.0
+                      at N=8 means partitioning + collectives add no
+                      overhead beyond the hardware limit.
+
+Two configs: 5 MHz mid-shape (fast) and the FLAGSHIP 20 MHz max-TBS
+shape (padding/VMEM/collective sizes of the real deployment; 2 forced
+turbo iterations bound the CPU cost — iteration count does not change
+the sharding geometry).
 
 Usage: python tools/bench_scaling.py [B] [n_turbo_iters]
 """
@@ -31,36 +41,28 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-
+def run_config(name, cell, grant, B, n_iters, n_rep=5, snr_db=22.0):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    assert len(jax.devices()) == 8, "need the 8-device virtual mesh"
-
     from srsue_tpu.parallel.mesh import make_mesh, shard_decode
-    from srsue_tpu.phy import enb_tx, ra
-    from srsue_tpu.phy.cell import Cell
+    from srsue_tpu.phy import enb_tx
     from srsue_tpu.phy.pdsch import PdschCodec
     from srsue_tpu.utils.jaxutil import to_host
 
-    cell = Cell(n_prb=25, cell_id=3)
-    grant = ra.dl_grant(cell.n_prb, 16)
+    n_cores = os.cpu_count() or 1
     codec = PdschCodec(cell, grant, rnti=0x42, subframe=2, cfi=1,
                        n_turbo_iters=n_iters, early_exit=False)
-
     rng = np.random.default_rng(0)
     payloads = np.stack(
         [rng.integers(0, 2, grant.tbs).astype(np.uint8) for _ in range(B)]
     )
     td = np.stack([
-        enb_tx.to_waveform(cell, enb_tx.build_pdsch_subframe(cell, codec, pl))[0]
+        enb_tx.to_waveform(cell,
+                           enb_tx.build_pdsch_subframe(cell, codec, pl))[0]
         for pl in payloads
     ])
     p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
-    noisy, _ = enb_tx.awgn(rng, td, 18.0, signal_power=p_sig)
+    noisy, _ = enb_tx.awgn(rng, td, snr_db, signal_power=p_sig)
     noisy = noisy.astype(np.complex64)
 
     results = {}
@@ -70,8 +72,7 @@ def main():
         run, in_spec, _ = shard_decode(cell, codec, mesh)
         iq = jax.device_put(noisy, in_spec)
         payload, tb_ok, n_ok, _ = run(iq)  # compile + correctness
-        assert int(to_host(n_ok)) == B, f"{n_dev}dev: decode failed"
-        n_rep = 5
+        assert int(to_host(n_ok)) == B, f"{name} {n_dev}dev: decode failed"
         t0 = time.time()
         for _ in range(n_rep):
             out = run(iq)
@@ -81,20 +82,44 @@ def main():
             t1 = dt
         samp = B * cell.sf_len / dt
         eff = t1 / (dt * n_dev)
+        eff_c = t1 / (dt * min(n_dev, n_cores))
         results[n_dev] = {"dt_ms": round(dt * 1e3, 2),
                           "msamples_per_s": round(samp / 1e6, 2),
-                          "efficiency": round(eff, 3)}
-        print(f"{n_dev} dev: {dt*1e3:8.2f} ms  {samp/1e6:8.2f} Msamp/s  "
-              f"eff {eff:.2f}", file=sys.stderr, flush=True)
+                          "efficiency": round(eff, 3),
+                          "efficiency_vs_cores": round(eff_c, 3)}
+        print(f"[{name}] {n_dev} dev: {dt*1e3:8.2f} ms  "
+              f"{samp/1e6:8.2f} Msamp/s  eff {eff:.2f}  "
+              f"eff-vs-{min(n_dev, n_cores)}cores {eff_c:.2f}",
+              file=sys.stderr, flush=True)
+    return {"batch_carriers": B, "n_prb": cell.n_prb,
+            "n_turbo_iters": n_iters, "per_mesh": results,
+            "speedup_8dev": round(t1 / results[8]["dt_ms"] * 1e3, 2)}
 
-    print(json.dumps({
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) == 8, "need the 8-device virtual mesh"
+
+    from srsue_tpu.phy import ra
+    from srsue_tpu.phy.cell import Cell
+
+    out = {
         "metric": "carrier_dp_strong_scaling",
-        "batch_carriers": B,
-        "n_prb": cell.n_prb,
         "platform": "cpu_virtual_mesh",
-        "per_mesh": results,
-        "speedup_8dev": round(t1 / results[8]["dt_ms"] * 1e3, 2),
-    }), flush=True)
+        "n_physical_cores": os.cpu_count(),
+        "mid_5mhz": run_config(
+            "5MHz", Cell(n_prb=25, cell_id=3),
+            ra.dl_grant(25, 16), B, n_iters),
+        "flagship_20mhz": run_config(
+            "20MHz-maxTBS", Cell(n_prb=100, cell_id=3),
+            ra.dl_grant(100, 28), 8, 2, n_rep=3, snr_db=28.0),
+    }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
