@@ -419,67 +419,90 @@ def _half_kernel_v4(lin_ref, par_ref, a0_ref, b0_ref,
         bfirst_ref[s] = beta[s]
 
 
-def tile_windows(x, d, T):
-    """[n, d] -> [T*d, 8, 128] with d-major rows inside each tile."""
-    return (x.reshape(T, SUBLANES, LANES, d)
-            .transpose(0, 3, 1, 2).reshape(T * d, SUBLANES, LANES))
+def _variant():
+    """(kernel name, sublanes, compute dtype) for the selected variant.
+
+    v5 = the radix-4 kernel computed in BFLOAT16 on (16, 128)-native
+    tiles. Hypothesis: the kernel is instruction-issue-bound (~1 vector
+    instr/cycle measured), so packing 2x lanes per bf16 instruction
+    should halve the instruction count. MEASURED REJECT on v5e
+    (tools/bench_kernel_variants.py): 2.58 ms/half vs v4's 2.11 — this
+    VPU does NOT execute bf16 elementwise ops at 2x rate (only the MXU
+    gains from bf16), and the extra converts cost ~20%. Kept selectable
+    for future hardware where packed bf16 ALUs exist; numerics are
+    production-ready (decode() rescales LLRs to RMS ~32 — max-log BCJR
+    is scale-invariant — so bf16's 8-bit mantissa quantizes at ~0.4% of
+    a working LLR; pinned in test_v5_bf16_decodes_and_tracks_f32)."""
+    v = os.environ.get("SRSUE_TPU_TURBO_KERNEL", "v4")
+    if v == "v5":
+        return v, 16, jnp.bfloat16
+    return v, SUBLANES, jnp.float32
 
 
-def untile_windows(y, d, T, n):
-    return (y.reshape(T, d, SUBLANES, LANES)
+def tile_windows(x, d, T, sublanes: int = SUBLANES):
+    """[n, d] -> [T*d, sublanes, 128] with d-major rows inside each
+    tile."""
+    return (x.reshape(T, sublanes, LANES, d)
+            .transpose(0, 3, 1, 2).reshape(T * d, sublanes, LANES))
+
+
+def untile_windows(y, d, T, n, sublanes: int = SUBLANES):
+    return (y.reshape(T, d, sublanes, LANES)
             .transpose(0, 2, 3, 1).reshape(n, d))
 
 
 def half_tiled(lin_t, par_t, a0_t, b0_t, lw: int,
                interpret: bool = False, unroll: bool | None = None):
     """Fully-tiled half-iteration: all operands/results stay in the VPU
-    tile layout ([T*lw, 8, 128] streams, [T*8, 8, 128] boundaries) — the
-    zero-transpose entry point used by the tiled iteration loop."""
+    tile layout ([T*lw, sl, 128] streams, [T*8, sl, 128] boundaries) —
+    the zero-transpose entry point used by the tiled iteration loop."""
     if unroll is None:
         unroll = not interpret
     assert lw % NORM_EVERY == 0, f"window {lw} % {NORM_EVERY} != 0"
     T = lin_t.shape[0] // lw
 
+    variant, sl, dt = _variant()
     grid = (T,)
-    spec_lw = pl.BlockSpec((lw, SUBLANES, LANES), lambda i: (i, 0, 0),
+    spec_lw = pl.BlockSpec((lw, sl, LANES), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_8 = pl.BlockSpec((8, SUBLANES, LANES), lambda i: (i, 0, 0),
+    spec_8 = pl.BlockSpec((8, sl, LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     # v3 (vectorized branch metrics, negation folded into the recursion)
     # measured 1.11x the v2 kernel at the flagship shape on v5e
     # (tools/bench_kernel_variants.py); v2 kept for A/B.
-    variant = os.environ.get("SRSUE_TPU_TURBO_KERNEL", "v4")
-    if variant == "v4":
-        # radix-4: half the sequential steps, alpha scratch halves
+    if variant in ("v4", "v5"):
+        # radix-4: half the sequential steps, alpha scratch halves;
+        # v5 additionally computes in bf16 on (16, 128)-native tiles
         kernel = functools.partial(_half_kernel_v4, unroll=unroll)
         scratch = [
-            pltpu.VMEM((lw // 2, 8, SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((lw // 2, 8, sl, LANES), dt),
+            pltpu.VMEM((lw, sl, LANES), dt),
+            pltpu.VMEM((lw, sl, LANES), dt),
         ]
     elif variant == "v3":
         kernel = functools.partial(_half_kernel_v3, unroll=unroll)
         scratch = [
-            pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((lw, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((lw, 8, sl, LANES), dt),
+            pltpu.VMEM((lw, sl, LANES), dt),
+            pltpu.VMEM((lw, sl, LANES), dt),
         ]
     else:
         kernel = functools.partial(_half_kernel, unroll=unroll)
-        scratch = [pltpu.VMEM((lw, 8, SUBLANES, LANES), jnp.float32)]
+        scratch = [pltpu.VMEM((lw, 8, sl, LANES), dt)]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec_lw, spec_lw, spec_8, spec_8],
         out_specs=[spec_lw, spec_8, spec_8],
         out_shape=[
-            jax.ShapeDtypeStruct((T * lw, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((T * 8, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((T * 8, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T * lw, sl, LANES), dt),
+            jax.ShapeDtypeStruct((T * 8, sl, LANES), dt),
+            jax.ShapeDtypeStruct((T * 8, sl, LANES), dt),
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(lin_t, par_t, a0_t, b0_t)
+    )(lin_t.astype(dt), par_t.astype(dt), a0_t.astype(dt),
+      b0_t.astype(dt))
 
 
 def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
@@ -489,19 +512,22 @@ def half_windowed_pallas(lin, par, a0, b0, lw: int, interpret: bool = False,
     beta_first [n, 8]) where n = number of (block, window) pairs, padded
     by the caller to a multiple of TILE (=1024).
 
-    Window w rides (tile w//1024, sublane (w%1024)//128, lane w%128).
-    unroll defaults to the compiled-path choice (True unless interpret);
-    tests override it to pin both kernel forms against each other.
+    Window w rides (tile w//(sl*128), sublane (w%(sl*128))//128, lane
+    w%128). unroll defaults to the compiled-path choice (True unless
+    interpret); tests override it to pin both kernel forms against each
+    other.
     """
+    _, sl, _ = _variant()
+    tile = sl * LANES
     n = lin.shape[0]
-    assert n % TILE == 0, f"pad window count to {TILE}: {n}"
-    T = n // TILE
+    assert n % tile == 0, f"pad window count to {tile}: {n}"
+    T = n // tile
 
     def to_tiles(x, d):
-        return tile_windows(x, d, T)
+        return tile_windows(x, d, T, sl)
 
     def from_tiles(y, d):
-        return untile_windows(y, d, T, n)
+        return untile_windows(y, d, T, n, sl).astype(jnp.float32)
 
     ext, alast, bfirst = half_tiled(
         to_tiles(lin, lw), par if par_is_tiled else to_tiles(par, lw),
@@ -515,14 +541,16 @@ def pretile_par(par_llr, lw: int):
     iterations: inside a lax.while/cond body the [n, lw] -> tile
     transpose would otherwise re-execute EVERY iteration (it is only
     CSE-hoisted in unrolled loops)."""
+    _, sl, dt = _variant()
+    tile = sl * LANES
     B, K = par_llr.shape
     n = B * (K // lw)
-    pad = (-n) % TILE
+    pad = (-n) % tile
     par_w = par_llr.reshape(n, lw)
     if pad:
         par_w = jnp.concatenate(
-            [par_w, jnp.zeros((pad, lw), jnp.float32)])
-    return tile_windows(par_w, lw, (n + pad) // TILE)
+            [par_w, jnp.zeros((pad, lw), par_w.dtype)])
+    return tile_windows(par_w, lw, (n + pad) // tile, sl).astype(dt)
 
 
 def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
@@ -536,7 +564,8 @@ def bcjr_half_windowed_pallas(sys_llr, par_llr, apriori, tail_sys, tail_par,
     B, K = sys_llr.shape
     W = K // lw
     n = B * W
-    pad = (-n) % TILE
+    _, sl, _ = _variant()
+    pad = (-n) % (sl * LANES)
 
     Lin = sys_llr + apriori
     lin_w = Lin.reshape(n, lw)
@@ -581,6 +610,15 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
     """Full turbo decode with the Pallas BCJR core (same contract as
     turbo.decode)."""
     assert k % window == 0, f"window {window} must divide K={k}"
+    if _variant()[0] == "v5":
+        # bf16 kernel: pre-normalize the working LLR scale (max-log
+        # BCJR is scale-invariant, so hard decisions and CRC are
+        # unaffected) — bf16's 8-bit mantissa then quantizes at ~0.4%
+        # of a typical LLR instead of being dominated by saturated
+        # filler priors
+        rms = jnp.sqrt(jnp.mean(jnp.square(d_llrs.astype(jnp.float32)))
+                       + 1e-9)
+        d_llrs = d_llrs * (32.0 / rms)
     B = d_llrs.shape[0]
     W = k // window
     perm = jnp.asarray(turbo.qpp_perm(k))

@@ -179,13 +179,12 @@ def test_pdcch_no_false_alarm_wrong_rnti():
 
 
 def test_tbs_fallback_properties():
-    """The interpolated TBS fallback (non-anchor allocation widths) is
-    monotone non-decreasing in N_PRB for every I_TBS, exact at the
-    anchor columns, alphabet-valid above the floor, and byte-aligned
-    below it (the full 110-column table is tracked in PARITY.md)."""
-    from srsue_tpu.phy import ra
+    """The full TBS_TABLE (r4): monotone non-decreasing in N_PRB for
+    every I_TBS, exact at every transcribed column, and every cell is a
+    real spec TBS (zero-filler segmentation — the densified alphabet;
+    deep checks live in tests/test_tbs.py)."""
+    from srsue_tpu.phy import ra, segmentation
 
-    valid = set(ra._VALID_TBS)
     for i in range(27):
         prev = 0
         for n in range(1, 111):
@@ -194,7 +193,5 @@ def test_tbs_fallback_properties():
             prev = v
             if n in ra.TBS_COLUMNS:
                 assert v == ra.TBS_COLUMNS[n][i]
-            elif v >= ra._VALID_TBS[0]:
-                assert v in valid, (i, n, v)
             else:
-                assert v % 8 == 0 and v >= 16
+                assert v % 8 == 0 and segmentation.plan(v).f == 0, (i, n, v)

@@ -134,6 +134,27 @@ def test_radix4_matches_radix2(monkeypatch):
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_v5_bf16_decodes_and_tracks_f32(monkeypatch):
+    """v5 (radix-4 in BFLOAT16 on (16,128)-native tiles — the packed-
+    instruction variant) decodes correctly and its extrinsics track the
+    f32 kernel within bf16 quantization of the working LLR scale."""
+    k = 512
+    rng = np.random.default_rng(31)
+    payloads, llrs, m = _make(k, 3, 1.0, rng)
+    d = jnp.asarray(llrs)
+    monkeypatch.setenv("SRSUE_TPU_TURBO_KERNEL", "v4")
+    h4, it4, ok4 = turbo_pallas.decode(d, k, 4, crc_mat=m, window=64,
+                                       interpret=True)
+    monkeypatch.setenv("SRSUE_TPU_TURBO_KERNEL", "v5")
+    h5, it5, ok5 = turbo_pallas.decode(d, k, 4, crc_mat=m, window=64,
+                                       interpret=True)
+    assert np.asarray(ok5).all()
+    np.testing.assert_array_equal(np.asarray(h5), payloads)
+    np.testing.assert_array_equal(np.asarray(h5), np.asarray(h4))
+    # same convergence behaviour at this SNR
+    assert (np.asarray(it5) <= np.asarray(it4) + 1).all()
+
+
 def test_forced_path_decodes():
     """The lean forced-iteration path (no per-iteration CRC/masking —
     the 8-iter headline program) still decodes correctly and reports
