@@ -758,6 +758,12 @@ class Rrc:
         # key off the PCI (exercised over the air in test_ota_handover)
         if self.phy is not None and hasattr(self.phy, "set_pci"):
             self.phy.set_pci(self.pci)
+        # §5.5.6.1: measurement L3 filters and timeToTrigger state
+        # restart on the new serving cell
+        self._meas_filter.clear()
+        for st in self._meas_state.values():
+            st["ttt"] = 0
+            st["fired"] = False
         # re-key toward the target cell and re-establish the bearers
         if self.usim is not None and self.usim.k_enb is not None:
             self.usim.refresh_as_keys(self.pci, self.earfcn, ncc,
