@@ -130,6 +130,55 @@ def test_a3_interrupted_ttt_does_not_fire():
     assert rrc2.pdcp.sdus == []
 
 
+def test_a3_cell_individual_offset_and_best_cell():
+    """Ocn (cellIndividualOffset) biases the entry condition per cell;
+    the report carries the BEST entering neighbor."""
+    rrc = _armed_rrc(ttt="ms0")
+    # re-apply config with two cells: 77 at dB0, 88 at dB6 boost
+    rrc._apply_meas_config({
+        "measObjectToAddModList": [{
+            "measObjectId": 1,
+            "measObject": ("measObjectEUTRA", {
+                "carrierFreq": 0, "allowedMeasBandwidth": "mbw15",
+                "presenceAntennaPort1": False, "neighCellConfig": 0,
+                "cellsToAddModList": [
+                    {"cellIndex": 1, "physCellId": 77,
+                     "cellIndividualOffset": "dB0"},
+                    {"cellIndex": 2, "physCellId": 88,
+                     "cellIndividualOffset": "dB6"},
+                ],
+            }),
+        }],
+    })
+    assert sorted(rrc.phy.neigh_cfg) == [77, 88]
+    # 88 is 1 dB below serving, but +6 Ocn lifts it over off+hys = 4;
+    # 77 at +1 dB does not enter
+    rrc.phy.neighbor_rsrp_dbm = {77: -79.0, 88: -81.0}
+    for _ in range(80):
+        rrc.step_measurements()
+    assert len(rrc.pdcp.sdus) == 1
+    from srsue_tpu.rrc import messages as M
+
+    _, _, body = M.unpack("UL-DCCH", rrc.pdcp.sdus[0][1])
+    cells = body["measResults"]["measResultNeighCells"][1]
+    assert cells[0]["physCellId"] == 88
+
+
+def test_meas_config_remove_lists():
+    rrc = _armed_rrc(ttt="ms0")
+    rrc._apply_meas_config({
+        "measIdToRemoveList": [1],
+        "reportConfigToRemoveList": [1],
+        "measObjectToRemoveList": [1],
+    })
+    assert not rrc.meas_ids and not rrc.meas_objects \
+        and not rrc.meas_reports
+    rrc.phy.neighbor_rsrp_dbm[NEW_PCI] = -60.0
+    for _ in range(50):
+        rrc.step_measurements()
+    assert rrc.pdcp.sdus == []  # nothing armed -> nothing reported
+
+
 @pytest.mark.slow
 def test_ota_a3_measurement_triggers_handover():
     cell1 = Cell(n_prb=15, cell_id=SRC_PCI)
