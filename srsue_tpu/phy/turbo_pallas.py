@@ -28,6 +28,23 @@ exit and HARQ semantics in regular JAX; this kernel replaces only the
 scan-heavy BCJR core. Correctness is pinned to the pure-JAX windowed
 decoder (tests/test_turbo_pallas.py) in interpret mode on CPU and
 compiled on TPU.
+
+r4 measurement ledger (v5e, flagship 3328 blocks x 6144 bits, measured
+by CHAINED-call marginals — per-call timing is swamped by the axon
+relay's ~28 ms fixed dispatch):
+  * v4 radix-4 kernel: 2.1-2.4 ms/half-iteration; the kernel executes
+    at ~1 VPU instruction/cycle, i.e. it is INSTRUCTION-ISSUE bound,
+    not dependency- or bandwidth-bound. v4 == v3 speed but the
+    half-length unrolled body compiles 24x faster (4 s vs 97 s), and
+    XLA dedupes the Mosaic payload across the 16 per-decode instances.
+  * full decode (16 halves + interleave/tile glue + CRC): 43.2 ms/batch
+    marginal, of which ~38 ms is kernel -> glue is ~5 ms total (NOT the
+    ~15 ms earlier per-call profiles suggested).
+  * REJECTED after measurement: v5 bf16 (2.58 ms/half — no packed bf16
+    ALU on this VPU), fori_loop body (9.0 ms/half, 3.8x slower than
+    unrolled), lax.scan iteration loop (r2: +10 ms/iter), plus the r2/r3
+    rejects (NORM_EVERY=16, SUBLANES=16/32, B=512, tiled iteration
+    loop).
 """
 
 from __future__ import annotations
