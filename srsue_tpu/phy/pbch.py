@@ -90,6 +90,22 @@ def map_to_grid(cell: Cell, grid: np.ndarray, symbols: np.ndarray) -> None:
     grid[pos[:, 0], pos[:, 1]] = symbols
 
 
+def map_to_grid_tm2(cell: Cell, grids: list[np.ndarray],
+                    symbols: np.ndarray) -> None:
+    """2-port SFBC mapping of the PBCH block (36.211 §6.6.3: transmit
+    diversity over consecutive REs in mapping order): port0 carries
+    (x0, x1)/sqrt2, port1 (-x1*, x0*)/sqrt2 — the same convention
+    equalize.alamouti_combine inverts."""
+    pos = regrid.pbch_positions(cell)
+    x0, x1 = symbols[0::2], symbols[1::2]
+    s = 1.0 / np.sqrt(2.0)
+    p0 = np.stack([x0, x1], axis=-1).reshape(symbols.shape) * s
+    p1 = np.stack([-np.conj(x1), np.conj(x0)], axis=-1).reshape(
+        symbols.shape) * s
+    grids[0][pos[:, 0], pos[:, 1]] = p0
+    grids[1][pos[:, 0], pos[:, 1]] = p1
+
+
 def extract_re(cell: Cell, grid: jnp.ndarray) -> jnp.ndarray:
     from ..utils.jaxutil import cgather
 

@@ -206,6 +206,18 @@ class Receiver:
             hh = pbch.extract_re(cell6, h)
             x_eq, nv_eff = equalize.zf(y, hh, nvar)
             mib, quarter, ports = pbch.decode(cell6, x_eq, nv_eff)
+            if mib is None:
+                # 2-port hypothesis: the eNB transmits PBCH with SFBC
+                # when it has two ports (36.211 §6.6.3) — single-port ZF
+                # then yields superposed symbols and the mask check
+                # fails. Try per-port chest + Alamouti combining; the
+                # CRC16 antenna mask confirms or rejects the hypothesis
+                # (srslte_pbch_decode's per-port-count trial loop,
+                # phch_recv.cc:207-227).
+                h1, _, _ = chest.estimate(cell6, grid, 0, port=1)
+                x2, nv2 = equalize.alamouti_combine(
+                    y, hh, pbch.extract_re(cell6, h1), nvar)
+                mib, quarter, ports = pbch.decode(cell6, x2, nv2)
             if mib is not None:
                 cell = Cell(n_prb=mib.n_prb, cell_id=cell_id,
                             n_ports=max(1, ports))

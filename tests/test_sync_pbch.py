@@ -117,3 +117,45 @@ def test_decimate_preserves_pss():
     cell6 = Cell(n_prb=6, cell_id=cell.cell_id)
     expected = ofdm.symbol_starts(cell6)[cell6.n_sym_slot - 1]
     assert abs(int(t) - expected) <= 3
+
+
+def test_pbch_tm2_blind_port_detection():
+    """A 2-port cell transmits PBCH with SFBC (36.211 §6.6.3); the
+    single-port hypothesis fails its CRC mask and the receiver's
+    Alamouti hypothesis recovers the MIB with the 2-port antenna mask —
+    srslte_pbch_decode's per-port-count trial (r4 addition)."""
+    from srsue_tpu.phy import enb_tx
+    from srsue_tpu.phy.receiver import Receiver
+    from srsue_tpu.radio.radio import ArrayRadio
+
+    cell = Cell(n_prb=6, cell_id=33, n_ports=2)
+    rng = np.random.default_rng(5)
+    sfn0 = 8
+    sfs = []
+    for f in range(3):
+        for sf in range(10):
+            grids = [enb_tx.empty_grid(cell) for _ in range(2)]
+            for p in range(2):
+                enb_tx.add_crs(cell, grids[p], sf, p)
+            enb_tx.add_sync(cell, grids[0], sf)
+            if sf == 0:
+                cw = pbch.encode(cell, pbch.Mib(6, "normal", 1.0, sfn0 + f),
+                                 n_ports=2)
+                pbch.map_to_grid_tm2(
+                    cell, grids, pbch.frame_symbols(cell, cw, (sfn0 + f) % 4))
+            sfs.append(np.sum(enb_tx.to_waveform(cell, grids), axis=0))
+    td = np.concatenate(sfs)
+    p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
+    noisy, _ = enb_tx.awgn(rng, td[None], 12, signal_power=p_sig)
+
+    rx = Receiver(ArrayRadio(noisy[0], cell.srate))
+    found = rx.cell_search()
+    assert found is not None
+    cell_id, is_sf5, t_off, cfo = found
+    assert cell_id == 33
+    got = rx.decode_mib_stream(cell_id, t_off, cfo, is_sf5)
+    assert got is not None, "2-port PBCH not acquired"
+    got_cell, mib, _ = got
+    assert got_cell.n_ports == 2          # blind port detection
+    assert got_cell.n_prb == 6
+    assert mib.sfn in (sfn0, sfn0 + 1, sfn0 + 2)
