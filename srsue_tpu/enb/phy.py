@@ -64,6 +64,7 @@ class EnbPhy:
                  n1_pucch_an: int = 2):
         self.cell = cell
         self.stack = stack
+        self.tm2 = cell.n_ports == 2  # transmit diversity on ALL DL channels
         self.rng = np.random.default_rng(seed)
         self.prach_root = prach_root
         self.prach_zcorr = prach_zcorr
@@ -116,35 +117,47 @@ class EnbPhy:
         cell = self.cell
         sf = tti % 10
         self.sfn = tti // 10
-        grid = enb_tx.empty_grid(cell)
-        enb_tx.add_crs(cell, grid, sf, 0)
+        n_ports = 2 if self.tm2 else 1
+        grids = [enb_tx.empty_grid(cell) for _ in range(n_ports)]
+        grid = grids[0]
+        for p in range(n_ports):
+            enb_tx.add_crs(cell, grids[p], sf, p)
         enb_tx.add_sync(cell, grid, sf)
-        control.pcfich_map(cell, grid, sf, CFI)
+        if self.tm2:
+            control.pcfich_map_tm2(cell, grids, sf, CFI)
+        else:
+            control.pcfich_map(cell, grid, sf, CFI)
 
         ph = self._phich_at.pop(tti, None)
         if ph is not None:
             ack, lowest_prb = ph
             grp, seq = control.phich_group_seq(
                 lowest_prb, 0, control.n_phich_groups(cell))
-            control.phich_map(cell, grid, sf, grp, seq, ack)
+            if self.tm2:
+                control.phich_map_tm2(cell, grids, sf, grp, seq, ack)
+            else:
+                control.phich_map(cell, grid, sf, grp, seq, ack)
 
         if sf == 0:
             mib = pbch.Mib(cell.n_prb, "normal", 1.0, self.sfn)
-            cw = pbch.encode(cell, mib, n_ports=1)
-            pbch.map_to_grid(cell, grid,
-                             pbch.frame_symbols(cell, cw, self.sfn % 4))
+            cw = pbch.encode(cell, mib, n_ports=n_ports)
+            syms = pbch.frame_symbols(cell, cw, self.sfn % 4)
+            if self.tm2:
+                pbch.map_to_grid_tm2(cell, grids, syms)
+            else:
+                pbch.map_to_grid(cell, grid, syms)
         if sib1_occasion(tti):
-            self._map_dlsch(grid, tti, self.stack.make_sib1(), 0xFFFF,
+            self._map_dlsch(grids, tti, self.stack.make_sib1(), 0xFFFF,
                             bcch=True)
         elif sf == 1 and self.sfn % 2 == 0:
-            self._map_dlsch(grid, tti, self.stack.make_sib2(), 0xFFFF,
+            self._map_dlsch(grids, tti, self.stack.make_sib2(), 0xFFFF,
                             bcch=True)
         elif self._page_pending is not None and paging_occasion(
                 tti, self._page_pending[0], n_b_t=self._page_nb_t,
                 t_drx=self._page_t_drx):
             _, pcch = self._page_pending
             self._page_pending = None
-            self._map_dlsch(grid, tti, pcch, 0xFFFE, bcch=True)
+            self._map_dlsch(grids, tti, pcch, 0xFFFE, bcch=True)
             self.events.append("paging_sent")
         elif tti in self._rar_at:
             idx = self._rar_at.pop(tti)
@@ -157,7 +170,7 @@ class EnbPhy:
             rar = pdu_mod.Rar(idx, ta=self.rar_ta, grant=g20,
                               t_crnti=self.crnti)
             ra_rnti = getattr(self, "_rar_rnti", 1 + (tti % 10))
-            self._map_dlsch(grid, tti, pdu_mod.pack_rar_pdu([rar], pdu_len=16),
+            self._map_dlsch(grids, tti, pdu_mod.pack_rar_pdu([rar], pdu_len=16),
                             ra_rnti)
             self.events.append("rar_sent")
         else:
@@ -166,14 +179,14 @@ class EnbPhy:
                 if self._dl_retx is not None:
                     rec = self._dl_retx
                     self._dl_retx = None
-                    self._map_dlsch_rec(grid, tti, rec)
+                    self._map_dlsch_rec(grids, tti, rec)
                     self.events.append(f"dl_retx_rv{RV_SEQ[rec.irv]}")
                     sent = True
                 elif not self._dl_pid_busy():
                     # the single DL HARQ pid stays busy until ACK or drop:
                     # a new TB would toggle NDI and flush the UE's
                     # softbuffer mid-combining
-                    sent = self._drain_stack_dl(grid, tti)
+                    sent = self._drain_stack_dl(grids, tti)
             if (not sent and self._ue_connected and sf == 4
                     and tti + MSG3_DELAY not in self._ul_grants):
                 # periodic UL grant (DCI format 0 on the UE's C-RNTI);
@@ -189,11 +202,17 @@ class EnbPhy:
                 n_cce, _ = control.pdcch_geometry(cell, CFI)
                 cands = control.search_space_candidates(n_cce, self.crnti, sf)
                 start, l = [c for c in cands if c[1] >= 4][0]
-                control.pdcch_map(cell, grid, sf, CFI,
-                                  dci.pack_0(cell.n_prb, d0), self.crnti,
-                                  start, l)
+                if self.tm2:
+                    control.pdcch_map_tm2(cell, grids, sf, CFI,
+                                          dci.pack_0(cell.n_prb, d0),
+                                          self.crnti, start, l)
+                else:
+                    control.pdcch_map(cell, grid, sf, CFI,
+                                      dci.pack_0(cell.n_prb, d0), self.crnti,
+                                      start, l)
 
-        return enb_tx.to_waveform(self.cell, [grid])[0]
+        wfs = enb_tx.to_waveform(self.cell, grids)
+        return wfs[0] if len(wfs) == 1 else np.sum(wfs, axis=0)
 
     def page(self, imsi: str, t_drx: int = 128, n_b_t: float = 1.0) -> None:
         """Queue a Paging message for the UE; transmitted with P-RNTI at
@@ -205,7 +224,7 @@ class EnbPhy:
     def _dl_pid_busy(self) -> bool:
         return self._dl_retx is not None or bool(self._dl_ack_at)
 
-    def _drain_stack_dl(self, grid, tti) -> bool:
+    def _drain_stack_dl(self, grids, tti) -> bool:
         """Carry one pending SRB PDU (with Msg4 CON_RES when needed)."""
         ob = getattr(self.stack, "_ho_outbox", None)
         if ob:
@@ -216,7 +235,7 @@ class EnbPhy:
             mac_pdu = pdu_mod.MacPdu()
             mac_pdu.add_sdu(1, pdu)
             raw = pdu_mod.pack(mac_pdu, len(pdu) + 12)
-            self._map_dlsch(grid, tti, raw, self.crnti)
+            self._map_dlsch(grids, tti, raw, self.crnti)
             self.events.append("ho_cmd_dl")
             return True
         for lcid, ent in ((0, self.stack.srb0), (1, self.stack.srb1),
@@ -233,7 +252,7 @@ class EnbPhy:
                 t_crnti = True
             mac_pdu.add_sdu(lcid, pdu)
             raw = pdu_mod.pack(mac_pdu, len(pdu) + 12)
-            self._map_dlsch(grid, tti, raw, self.crnti, temp_crnti=t_crnti)
+            self._map_dlsch(grids, tti, raw, self.crnti, temp_crnti=t_crnti)
             self.events.append(f"dl_lcid{lcid}")
             return True
         return False
@@ -245,28 +264,28 @@ class EnbPhy:
                 return n_prb
         return self.cell.n_prb
 
-    def _map_dlsch(self, grid, tti: int, payload: bytes, rnti: int,
+    def _map_dlsch(self, grids, tti: int, payload: bytes, rnti: int,
                    bcch: bool = False, temp_crnti: bool = False):
         if not bcch and rnti == self.crnti:
             self._ndi = not self._ndi  # NDI toggle: new DL-SCH TB
             rec = _DlTx(payload, self._pick_alloc(payload, self._mcs_data),
                         self._mcs_data, self._ndi, temp_crnti)
-            self._map_dlsch_rec(grid, tti, rec)
+            self._map_dlsch_rec(grids, tti, rec)
             return
-        self._map_dlsch_raw(grid, tti, payload, rnti,
+        self._map_dlsch_raw(grids, tti, payload, rnti,
                             self._pick_alloc(payload, self._mcs_data),
                             self._mcs_data, ndi=self._ndi, rv=0,
                             watch_ack=False)
 
-    def _map_dlsch_rec(self, grid, tti: int, rec: _DlTx):
+    def _map_dlsch_rec(self, grids, tti: int, rec: _DlTx):
         start_cce = self._map_dlsch_raw(
-            grid, tti, rec.payload, self.crnti, rec.n_prb_alloc, rec.mcs,
+            grids, tti, rec.payload, self.crnti, rec.n_prb_alloc, rec.mcs,
             ndi=rec.ndi, rv=RV_SEQ[rec.irv], watch_ack=True,
         )
         # HARQ-ACK expected 4 TTIs later on n1PucchAN + first CCE
         self._dl_ack_at[tti + 4] = (self.n1_pucch_an + start_cce, rec)
 
-    def _map_dlsch_raw(self, grid, tti: int, payload: bytes, rnti: int,
+    def _map_dlsch_raw(self, grids, tti: int, payload: bytes, rnti: int,
                        n_prb_alloc: int, mcs: int, ndi: bool, rv: int,
                        watch_ack: bool) -> int:
         cell = self.cell
@@ -282,12 +301,17 @@ class EnbPhy:
             n_cce, _ = control.pdcch_geometry(cell, CFI)
             cands = control.search_space_candidates(n_cce, rnti, sf)
             start, l = [c for c in cands if c[1] >= 4][0]
-        control.pdcch_map(cell, grid, sf, CFI, dci.pack_1a(cell.n_prb, d),
-                          rnti, start, l)
         bits = np.zeros(g.tbs, np.uint8)
         pb = np.unpackbits(np.frombuffer(payload, np.uint8))[: g.tbs]
         bits[: len(pb)] = pb
-        codec.map_to_grid(grid, codec.encode_symbols(bits))
+        if self.tm2:
+            control.pdcch_map_tm2(cell, grids, sf, CFI,
+                                  dci.pack_1a(cell.n_prb, d), rnti, start, l)
+            codec.map_to_grid_tm2(grids, codec.encode_symbols(bits))
+        else:
+            control.pdcch_map(cell, grids[0], sf, CFI,
+                              dci.pack_1a(cell.n_prb, d), rnti, start, l)
+            codec.map_to_grid(grids[0], codec.encode_symbols(bits))
         return start
 
     # --------------------------------------------------------------- uplink

@@ -244,6 +244,102 @@ def phich_decode(cell: Cell, grid_eq: jnp.ndarray, subframe: int, group: int, ns
     return m  # > 0 -> ACK
 
 
+# ---------------------------------------------------------------------------
+# Transmit diversity (2-port SFBC, 36.211 §6.3.4.3) for the control region.
+# Every control channel maps in REG quadruplets whose 4 REs stay adjacent
+# in mapping order, so SFBC pairs are (0,1) and (2,3) of each quadruplet —
+# one precode/combine convention serves PCFICH, PHICH and PDCCH alike.
+# ---------------------------------------------------------------------------
+
+
+def _sfbc_precode(sym: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pairwise SFBC: port0 (x0, x1)/sqrt2, port1 (-x1*, x0*)/sqrt2 —
+    the convention equalize.alamouti_combine inverts."""
+    x0, x1 = sym[0::2], sym[1::2]
+    s = 1.0 / np.sqrt(2.0)
+    p0 = np.stack([x0, x1], axis=-1).reshape(sym.shape) * s
+    p1 = np.stack([-np.conj(x1), np.conj(x0)],
+                  axis=-1).reshape(sym.shape) * s
+    return p0.astype(np.complex64), p1.astype(np.complex64)
+
+
+def pcfich_map_tm2(cell: Cell, grids, subframe: int, cfi: int) -> None:
+    p0, p1 = _sfbc_precode(pcfich_encode(cell, subframe, cfi))
+    idx = _pcfich_re(cell)
+    grids[0].reshape(-1)[idx] = p0
+    grids[1].reshape(-1)[idx] = p1
+
+
+def phich_map_tm2(cell: Cell, grids, subframe: int, group: int, nseq: int,
+                  ack: bool) -> None:
+    p0, p1 = _sfbc_precode(phich_symbols(cell, subframe, group, nseq, ack))
+    idx = _phich_re(cell, group)
+    grids[0].reshape(-1)[idx] += p0
+    grids[1].reshape(-1)[idx] += p1
+
+
+def pdcch_map_tm2(cell: Cell, grids, subframe: int, cfi: int,
+                  dci_bits: np.ndarray, rnti: int, n_cce: int,
+                  l_aggr: int) -> None:
+    _, cce_re = pdcch_geometry(cell, cfi)
+    bits = pdcch_encode(cell, subframe, dci_bits, rnti, l_aggr)
+    n_cce_tot, _ = pdcch_geometry(cell, cfi)
+    scr_full = _pdcch_scramble(cell, subframe, 72 * n_cce_tot)
+    scr = scr_full[72 * n_cce : 72 * n_cce + 72 * l_aggr]
+    sym = modulation.modulate_np(bits ^ scr, 2)
+    res = cce_re[n_cce : n_cce + l_aggr].reshape(-1)
+    p0, p1 = _sfbc_precode(sym)
+    grids[0].reshape(-1)[res] = p0
+    grids[1].reshape(-1)[res] = p1
+
+
+@functools.lru_cache(maxsize=64)
+def _control_region_idx(cell: Cell, n_sym: int = 3) -> np.ndarray:
+    """Flat RE indices of every REG in the (max-size) control region, in
+    quadruplet order."""
+    idx = []
+    for l in range(n_sym):
+        for reg in regs_in_symbol(cell, l):
+            idx.extend(reg)
+    return np.asarray(idx, dtype=np.int64)
+
+
+def sfbc_equalize_control(cell: Cell, grid: jnp.ndarray, h0, h1, nvar):
+    """Raw grid + per-port channel estimates -> a pseudo-equalized grid
+    whose CONTROL-REGION REs hold SFBC-combined symbol estimates (paired
+    within each REG quadruplet), plus a matching per-RE noise grid
+    (huge noise elsewhere, so stray REs demap to zero LLR). The
+    single-port decoders (pcfich_decode / phich_decode / pdcch_blind_*)
+    then run UNCHANGED on the combined grid — srslte's per-channel
+    predecoding collapsed into one pass."""
+    import jax
+
+    from . import equalize
+
+    idx_np = _control_region_idx(cell)
+    idx = jnp.asarray(idx_np)
+
+    def flat(g):
+        return g.reshape(g.shape[:-2] + (-1,))
+
+    y = cgather(flat(grid), idx, axis=-1)
+    g0 = cgather(flat(h0), idx, axis=-1)
+    g1 = cgather(flat(h1), idx, axis=-1)
+    x, nv_eff = equalize.alamouti_combine(y, g0, g1, nvar)
+    n = cell.n_sym_sf * cell.n_sc
+    lead = grid.shape[:-2]
+    zr = jnp.zeros(lead + (n,), jnp.float32).at[..., idx].set(
+        jnp.real(x).astype(jnp.float32))
+    zi = jnp.zeros(lead + (n,), jnp.float32).at[..., idx].set(
+        jnp.imag(x).astype(jnp.float32))
+    g_eq = jax.lax.complex(zr, zi).reshape(
+        lead + (cell.n_sym_sf, cell.n_sc))
+    nv_grid = jnp.full(lead + (n,), 1e6, jnp.float32).at[..., idx].set(
+        nv_eff.astype(jnp.float32)).reshape(
+        lead + (cell.n_sym_sf, cell.n_sc))
+    return g_eq, nv_grid
+
+
 def phich_group_seq(n_prb_lowest: int, dmrs_cshift: int, n_groups: int) -> tuple[int, int]:
     """(group, sequence) for a PUSCH allocation (36.213 §9.1.2)."""
     group = (n_prb_lowest + dmrs_cshift) % n_groups

@@ -146,6 +146,14 @@ class PdschCodec:
         flat = grid.reshape(-1)
         flat[self.re_idx] = symbols
 
+    def map_to_grid_tm2(self, grids: list, symbols: np.ndarray) -> None:
+        """2-port SFBC mapping (36.211 §6.3.4.3) onto per-port grids."""
+        from . import control
+
+        p0, p1 = control._sfbc_precode(symbols)
+        grids[0].reshape(-1)[self.re_idx] = p0
+        grids[1].reshape(-1)[self.re_idx] = p1
+
     # ------------------------------------------------------------------ RX
     def extract_re(self, grid: jnp.ndarray) -> jnp.ndarray:
         """[..., n_sym_sf, n_sc] -> [..., n_re] (complex-safe gather)."""

@@ -292,7 +292,17 @@ class Phy:
         sf = tti % 10
         grid = ofdm.demodulate(self.cell, to_device_complex(dl_samples))
         h, nvar, rsrp = chest.estimate(self.cell, grid, sf, port=0)
-        g_eq, nv_eff = equalize.zf(grid, h, nvar)
+        tm2 = self.cell.n_ports == 2 or self.tm == 2
+        h1 = None
+        if tm2:
+            # 2-port cell: ALL downlink channels are SFBC (36.211
+            # §6.3.4.3) — combine the control region once (REG-pair
+            # aligned), then the single-port decoders run unchanged
+            h1, _, _ = chest.estimate(self.cell, grid, sf, port=1)
+            g_eq, nv_eff = control.sfbc_equalize_control(
+                self.cell, grid, h, h1, nvar)
+        else:
+            g_eq, nv_eff = equalize.zf(grid, h, nvar)
         cfi_dev, _ = control.pcfich_decode(self.cell, g_eq, nv_eff, sf)
         cfi = int(to_host(cfi_dev))
 
@@ -405,12 +415,13 @@ class Phy:
                 )
                 for start_cce, l, bits in hits:
                     self._handle_dci(tti, sf, cfi, grid, h, nvar, fmt,
-                                     bits, rnti, rnti_type, start_cce)
+                                     bits, rnti, rnti_type, start_cce,
+                                     h1=h1)
 
         return self._assemble_ul(tti)
 
     def _handle_dci(self, tti, sf, cfi, grid, h, nvar, fmt, bits, rnti,
-                    rnti_type, start_cce):
+                    rnti_type, start_cce, h1=None):
         if fmt == "0_1a":
             d = dci.unpack_0_1a(self.cell.n_prb, bits)
             if isinstance(d, dci.Dci0):
@@ -428,14 +439,22 @@ class Phy:
             d = dci.unpack_1c(self.cell.n_prb, bits)
             grant = dci.dci1c_to_grant(self.cell, d)
         self._decode_dlsch(tti, sf, cfi, grid, h, nvar, grant, rnti,
-                           rnti_type, d, start_cce)
+                           rnti_type, d, start_cce, h1=h1)
 
     def _decode_dlsch(self, tti, sf, cfi, grid, h, nvar, grant, rnti,
-                      rnti_type, d, start_cce=0):
+                      rnti_type, d, start_cce=0, h1=None):
         codec = PdschCodec(self.cell, grant, rnti, sf, cfi)
-        x_eq, nv_eff = equalize.zf(
-            codec.extract_re(grid), codec.extract_re(h), nvar
-        )
+        if h1 is not None:
+            # TM2: SFBC combining over the PDSCH REs (mapping-order
+            # adjacent pairs; the ue_dl.py TM2 path at facade level)
+            x_eq, nv_eff = equalize.alamouti_combine(
+                codec.extract_re(grid), codec.extract_re(h),
+                codec.extract_re(h1), nvar
+            )
+        else:
+            x_eq, nv_eff = equalize.zf(
+                codec.extract_re(grid), codec.extract_re(h), nvar
+            )
         softbuffers = codec.dematch(codec.demap_llrs(x_eq[None], nv_eff[None]))
         if self.mac is None:
             return
