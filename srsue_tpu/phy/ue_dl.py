@@ -61,7 +61,14 @@ class UeDl:
         def fe(iq):
             grid = ofdm.demodulate(cell, iq)
             h, nvar, rsrp = chest.estimate(cell, grid, subframe, port=0)
-            g_eq, nv_eff = equalize.zf(grid, h, nvar)
+            if cell.n_ports == 2:
+                # TM2 cell: SFBC control region (REG-pair combining;
+                # the Phy facade's path, control.sfbc_equalize_control)
+                h1, _, _ = chest.estimate(cell, grid, subframe, port=1)
+                g_eq, nv_eff = control.sfbc_equalize_control(
+                    cell, grid, h, h1, nvar)
+            else:
+                g_eq, nv_eff = equalize.zf(grid, h, nvar)
             m = chest.metrics(cell, grid, nvar, rsrp)
             return grid, h, nvar, g_eq, nv_eff, m
 

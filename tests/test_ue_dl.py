@@ -77,3 +77,36 @@ def test_sr_cqi_scheduling():
     bits = sent[0][1]
     cqi_val = int("".join(map(str, bits)), 2)
     assert 7 <= cqi_val <= 15  # ~15 dB SNR -> high CQI
+
+
+def test_uedl_process_tm2_control():
+    """UeDl.process on a 2-port cell: PCFICH + blind DCI search through
+    the SFBC-combined control region, PDSCH through Alamouti (r4)."""
+    cell = Cell(n_prb=15, cell_id=150, n_ports=2)
+    rng = np.random.default_rng(3)
+    rnti = 0x7B7B
+    subframe = 3
+    cfi = 2
+    grant = ra.dl_grant(cell.n_prb, 9)
+    codec = PdschCodec(cell, grant, rnti, subframe, cfi)
+    payload = rng.integers(0, 2, grant.tbs).astype(np.uint8)
+
+    grids = [enb_tx.empty_grid(cell) for _ in range(2)]
+    for p in range(2):
+        enb_tx.add_crs(cell, grids[p], subframe, p)
+    control.pcfich_map_tm2(cell, grids, subframe, cfi)
+    d = dci.Dci1A(riv=dci.riv_encode(15, 0, 15), mcs=9, harq_pid=0,
+                  ndi=True, rv=0, tpc=0)
+    control.pdcch_map_tm2(cell, grids, subframe, cfi,
+                          dci.pack_1a(15, d), rnti, 0, 4)
+    codec.map_to_grid_tm2(grids, codec.encode_symbols(payload))
+    td = np.sum(enb_tx.to_waveform(cell, grids), axis=0)
+    p_sig = float(np.mean(np.abs(td) ** 2)) * cell.nfft / cell.n_sc
+    noisy, _ = enb_tx.awgn(rng, td[None], 20, signal_power=p_sig)
+
+    ue = UeDl(cell)
+    res = ue.process(noisy, subframe, rnti)
+    assert res.cfi == cfi
+    assert len(res.grants) == 1 and res.grants[0].tbs == grant.tbs
+    assert res.tb_ok.all()
+    np.testing.assert_array_equal(res.payload[0], payload)
