@@ -219,8 +219,14 @@ class Receiver:
                     y, hh, pbch.extract_re(cell6, h1), nvar)
                 mib, quarter, ports = pbch.decode(cell6, x2, nv2)
             if mib is not None:
+                # camp with the MIB's PHICH configuration: Ng sets the
+                # PHICH group count (36.211 §6.9), which the UL HARQ
+                # feedback decode depends on (phch_recv.cc:254-258
+                # applies the decoded MIB to the cell struct)
                 cell = Cell(n_prb=mib.n_prb, cell_id=cell_id,
-                            n_ports=max(1, ports))
+                            n_ports=max(1, ports),
+                            phich_duration=mib.phich_duration,
+                            phich_resources=mib.phich_resources)
                 return cell, mib, t_offset
         return None
 
