@@ -312,3 +312,39 @@ def test_enum_sizes_pin_spec_tables():
     assert A.T_Reordering.names[21] == "ms110"
     assert A.T_PollRetransmit.names[49] == "ms250"
     assert A.T_PollRetransmit.names[50] == "ms300"
+
+
+def test_measurement_report_golden():
+    """Hand-derived UPER golden vector for MeasurementReport (r4
+    schemas). Bit layout (36.331 + X.691):
+      b0      = 0   message CHOICE: c1
+      b1-b4   = 0001  c1 alternative 1 = measurementReport (16 alts)
+      b5      = 0   criticalExtensions CHOICE: c1
+      b6-b8   = 000 c1 CHOICE: measurementReport-r8 (8 alts)
+      b9      = 0   r8 IEs: nonCriticalExtension absent
+      b10     = 0   MeasResults extension bit
+      b11     = 1   measResultNeighCells present
+      b12-b16 = 00000  measId 1 (offset from 1, 5 bits)
+      b17-b23 = 0101000 rsrpResult 40 (7 bits)
+      b24-b29 = 010100  rsrqResult 20 (6 bits)
+      b30     = 0   neighCells CHOICE extension bit
+      b31-b32 = 00  alternative 0 = measResultListEUTRA (4 root alts)
+      b33-b35 = 000 list length 1 (SIZE 1..8, offset 3 bits)
+      b36     = 0   cgi-Info absent
+      b37-b45 = 001001101 physCellId 77 (9 bits)
+      b46     = 0   measResult extension bit
+      b47     = 1   rsrpResult present
+      b48     = 0   rsrqResult absent
+      b49-b55 = 0110111 rsrpResult 55
+    -> 08 10 28 50 01 35 37"""
+    raw = M.pack("UL-DCCH", "measurementReport", {"measResults": {
+        "measId": 1,
+        "measResultServCell": {"rsrpResult": 40, "rsrqResult": 20},
+        "measResultNeighCells": ("measResultListEUTRA", [
+            {"physCellId": 77, "measResult": {"rsrpResult": 55}},
+        ]),
+    }})
+    assert raw.hex() == "08102850013537", raw.hex()
+    name, _, body = M.unpack("UL-DCCH", raw)
+    assert name == "measurementReport"
+    assert body["measResults"]["measResultServCell"]["rsrpResult"] == 40
