@@ -63,13 +63,7 @@ def build_pdsch_subframe(
     if not tm2:
         codec.map_to_grid(grids[0], syms)
     else:
-        # host-numpy SFBC precoding (mirror of equalize.alamouti_precode)
-        x0, x1 = syms[0::2], syms[1::2]
-        s = 1.0 / np.sqrt(2.0)
-        p0 = np.stack([x0, x1], axis=-1).reshape(syms.shape) * s
-        p1 = np.stack([-np.conj(x1), np.conj(x0)], axis=-1).reshape(syms.shape) * s
-        codec.map_to_grid(grids[0], p0.astype(np.complex64))
-        codec.map_to_grid(grids[1], p1.astype(np.complex64))
+        codec.map_to_grid_tm2(grids, syms)
     return grids
 
 

@@ -96,12 +96,10 @@ def map_to_grid_tm2(cell: Cell, grids: list[np.ndarray],
     diversity over consecutive REs in mapping order): port0 carries
     (x0, x1)/sqrt2, port1 (-x1*, x0*)/sqrt2 — the same convention
     equalize.alamouti_combine inverts."""
+    from . import control
+
     pos = regrid.pbch_positions(cell)
-    x0, x1 = symbols[0::2], symbols[1::2]
-    s = 1.0 / np.sqrt(2.0)
-    p0 = np.stack([x0, x1], axis=-1).reshape(symbols.shape) * s
-    p1 = np.stack([-np.conj(x1), np.conj(x0)], axis=-1).reshape(
-        symbols.shape) * s
+    p0, p1 = control._sfbc_precode(symbols)
     grids[0][pos[:, 0], pos[:, 1]] = p0
     grids[1][pos[:, 0], pos[:, 1]] = p1
 
