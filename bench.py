@@ -46,10 +46,13 @@ BASELINE_MBPS = 60.0
 # batch until the marginal per-subframe compute dominates.
 B_DEFAULT = 256
 SNR_OPERATING = 26.0
-# near the BLER~10% cliff for 64QAM mcs28 (rate .92) + ZF over AWGN;
-# calibrated on TPU v5e (tools/snr_sweep.py: BLER 12.5% @ 20 dB, 0% @
-# >= 22 dB, mean 3.6 iters w/ early exit) — bench asserts BLER < 60% so
-# drift is caught rather than silently mismeasured
+# near the BLER cliff for 64QAM mcs28 (rate .92) over AWGN; kept at
+# 20 dB across rounds for comparability. r4 recalibration on v5e
+# (tools/snr_sweep.py) after the chest pilot denoiser: BLER 1.2% @
+# 20 dB / 9.4% @ 19 dB (was 4.3% / 100% with raw-LS chest) — the JSON
+# carries the measured BLER so the point is self-describing. The bench
+# asserts BLER < 60% so drift is caught rather than silently
+# mismeasured.
 SNR_WATERFALL = 20.0
 
 

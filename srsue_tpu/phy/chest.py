@@ -14,12 +14,24 @@ element-wise VPU ops, with zero data-dependent control flow.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
 
 from . import regrid
 from .cell import Cell
+
+# Pilot-axis denoising before interpolation (r4): plain linear interp
+# passes pilot noise through UNREDUCED at the pilots; a 3-tap
+# [1, 2, 1]/4 FIR across the LS estimates cuts estimation noise by
+# ~4.3 dB (sum w^2 = 0.375) while the bias stays negligible for delay
+# spreads well inside the CP: pilots sit every 6 subcarriers, so the
+# filter spans 18 SC, and a channel with delay spread d samples ripples
+# with period nfft/d subcarriers (d <= CP/4 keeps the ripple period
+# >= 4x the filter span). srsLTE's chest has the equivalent
+# average-filter option (srslte_chest_dl_set_smooth_filter).
+_DENOISE = os.environ.get("SRSUE_TPU_CHEST_DENOISE", "1") == "1"
 
 
 @functools.lru_cache(maxsize=256)
@@ -86,10 +98,16 @@ def estimate(cell: Cell, grid: jnp.ndarray, subframe: int, port: int = 0):
 
     # per-CRS-symbol frequency interpolation (stack the small matmuls)
     h_sym = h_ls.reshape(h_ls.shape[:-1] + (len(syms), n_per))
+    h_in = h_sym
+    if _DENOISE:
+        # 3-tap pilot-axis FIR (edge pilots clamped) — see module note
+        left = jnp.concatenate([h_sym[..., :1], h_sym[..., :-1]], axis=-1)
+        right = jnp.concatenate([h_sym[..., 1:], h_sym[..., -1:]], axis=-1)
+        h_in = 0.25 * left + 0.5 * h_sym + 0.25 * right
     h_f = []
     for i in range(len(syms)):
         w = jnp.asarray(_freq_interp_matrix(cell, port, i))
-        h_f.append(h_sym[..., i, :] @ w.T.astype(jnp.complex64))
+        h_f.append(h_in[..., i, :] @ w.T.astype(jnp.complex64))
     h_f = jnp.stack(h_f, axis=-2)  # [..., n_crs_sym, n_sc]
 
     wt = jnp.asarray(_time_interp_matrix(cell, port)).astype(jnp.complex64)
