@@ -58,9 +58,12 @@ def shard_decode(
             codec.extract_re(grid), codec.extract_re(h), nvar
         )
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
-        # mesh-global aggregates -> all-reduce across shards
+        # mesh-global aggregates -> all-reduce across shards.
+        # snr_db: mean linear power ratio converted to dB (VERDICT r4
+        # item 7: the raw ratio was printed with an "SNR" label).
         n_ok = jnp.sum(tb_ok.astype(jnp.int32))
-        snr = jnp.mean(rsrp / jnp.maximum(nvar, 1e-12))
+        snr_lin = jnp.mean(rsrp / jnp.maximum(nvar, 1e-12))
+        snr = 10.0 * jnp.log10(jnp.maximum(snr_lin, 1e-12))
         out_shard = jax.lax.with_sharding_constraint(payload.astype(jnp.int32), in_spec)
         return out_shard, tb_ok, n_ok, snr
 

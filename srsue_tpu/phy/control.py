@@ -294,9 +294,15 @@ def pdcch_map_tm2(cell: Cell, grids, subframe: int, cfi: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _control_region_idx(cell: Cell, n_sym: int = 3) -> np.ndarray:
+def _control_region_idx(cell: Cell, n_sym: int | None = None) -> np.ndarray:
     """Flat RE indices of every REG in the (max-size) control region, in
-    quadruplet order."""
+    quadruplet order. The max span is cell-dependent: narrow cells
+    (n_prb <= 10) carry the control region over CFI+1 symbols (36.211
+    Table 6.7-1), so their max is 4 symbols, not 3 (ADVICE r4)."""
+    if n_sym is None:
+        from . import regrid
+
+        n_sym = regrid.control_span(cell, 3)
     idx = []
     for l in range(n_sym):
         for reg in regs_in_symbol(cell, l):

@@ -93,6 +93,12 @@ class Phy:
         self.srs_cfg: tuple[int, int] | None = None  # (I_srs, n_prb_srs)
         self.ref_sig_power_dbm = 0.0  # SIB2 referenceSignalPower
         self.prach_init_target_dbm = -104.0  # preambleInitialReceivedTargetPower
+        # Digital-AGC compensation (ADVICE r4): when the radio rescales
+        # RX samples (SocketRadio.rx_gain_db), absolute-power
+        # measurements must remove that gain or RSRP/pathloss/open-loop
+        # UL power reflect the AGC target instead of the peer's level.
+        # The drive loop sets this per subframe from radio.rx_gain_db.
+        self.rx_gain_offset_db = 0.0
         self.pathloss_db = 0.0
         self._last_pusch_prb = 1
         self.metrics = {"dl_ok": 0, "dl_ko": 0, "ul_tx": 0, "snr_db": 0.0,
@@ -307,7 +313,12 @@ class Phy:
         cfi = int(to_host(cfi_dev))
 
         # measurements: SNR + pathloss (phch_worker update_measurements
-        # 793-855: pathloss = referenceSignalPower - rsrp_dbm)
+        # 793-855: pathloss = referenceSignalPower - rsrp_dbm). Absolute
+        # powers are referred to the ANTENNA port by removing any digital
+        # AGC gain the radio applied (rx_gain_offset_db, ADVICE r4);
+        # RATIOS (SNR, subband SNR) are gain-invariant and use the raw
+        # sample-domain values.
+        gain_db = float(self.rx_gain_offset_db)
         rsrp_lin = max(float(to_host(rsrp)), 1e-12)
         nvar_h = max(float(to_host(nvar)), 1e-12)
         snr_db = float(10 * np.log10(max(rsrp_lin / nvar_h, 1e-9)))
@@ -335,20 +346,21 @@ class Phy:
         # frame would otherwise spike the estimate and reset the RRC's
         # A3 timeToTrigger every 10 ms
         self.serving_rsrp_dbm = float(
-            10 * np.log10(self._l1_avg("serv", rsrp_lin)))
+            10 * np.log10(self._l1_avg("serv", rsrp_lin))) - gain_db
         # intra-frequency neighbor RSRP from the same grid, keyed by the
         # neighbor's CRS sequence (measConfig fan-out; §5.5 L1 part)
         for n_pci in getattr(self, "_meas_pcis", ()):
             ncell = replace(self.cell, cell_id=n_pci)
             _, _, n_rsrp = chest.estimate(ncell, grid, sf, port=0)
             v = self._l1_avg(n_pci, max(float(to_host(n_rsrp)), 1e-12))
-            self.neighbor_rsrp_dbm[n_pci] = float(10 * np.log10(v))
+            self.neighbor_rsrp_dbm[n_pci] = float(10 * np.log10(v)) - gain_db
         self.metrics["snr_db"] = snr_db
         self.ul_ctrl.update_snr(snr_db)
-        self.pathloss_db = self.ref_sig_power_dbm - 10 * np.log10(rsrp_lin)
+        self.pathloss_db = (self.ref_sig_power_dbm
+                            - (10 * np.log10(rsrp_lin) - gain_db))
         self.metrics["pathloss_db"] = self.pathloss_db
         self._m_add("snr_db", snr_db)
-        self._m_add("rsrp_dbm", 10 * np.log10(rsrp_lin))
+        self._m_add("rsrp_dbm", 10 * np.log10(rsrp_lin) - gain_db)
         self._m_add("pathloss_db", self.pathloss_db)
 
         # PHICH at the group/seq of OUR transmission's allocation

@@ -173,13 +173,24 @@ class UlCtrl:
         if kind is None:
             return None
         self.metrics["cqi_sent"] += 1
-        if kind[0] == "wb" or self.subband_snr_db is None:
+        if kind[0] == "wb":
             cqi = ra.cqi_from_snr(self.last_snr_db)
             return ((cqi >> np.arange(3, -1, -1)) & 1).astype(np.uint8)
-        lo, hi = part_subbands(self.cfg.n_prb, kind[1])
-        sub = self.subband_snr_db[lo:hi]
-        label = int(np.argmax(sub))
-        cqi = ra.cqi_from_snr(float(sub[label]))
+        if self.subband_snr_db is None:
+            # Subband occasion before the first subband measurement: the
+            # eNB derives the expected PUCCH format-2 payload size (4+L
+            # bits) from the shared schedule alone, so the payload must
+            # KEEP the subband shape — label 0 with the wideband CQI —
+            # or the bit counts disagree and the decode garbles
+            # (ADVICE r4). kind[1] is still consumed so the bandwidth
+            # part cycle stays aligned.
+            label = 0
+            cqi = ra.cqi_from_snr(self.last_snr_db)
+        else:
+            lo, hi = part_subbands(self.cfg.n_prb, kind[1])
+            sub = self.subband_snr_db[lo:hi]
+            label = int(np.argmax(sub))
+            cqi = ra.cqi_from_snr(float(sub[label]))
         nl = subband_label_bits(self.cfg.n_prb)
         cqi_b = ((cqi >> np.arange(3, -1, -1)) & 1).astype(np.uint8)
         lab_b = ((label >> np.arange(nl - 1, -1, -1)) & 1).astype(np.uint8)

@@ -119,6 +119,18 @@ class SocketRadio(Radio):
             out = self.agc.process(out, n_valid=got // 8)
         return out, ts
 
+    @property
+    def rx_gain_db(self) -> float:
+        """Digital AGC gain currently applied to RX samples, in dB
+        (0.0 when AGC is off). Absolute-power consumers (RSRP,
+        pathloss, open-loop UL power) must SUBTRACT this from
+        sample-domain power measurements to recover the peer's actual
+        level — the ADVICE r4 compensation hook; the reference surfaces
+        the same via srslte_ue_dl metrics' rx_gain_offset."""
+        if self.agc is None:
+            return 0.0
+        return float(20.0 * np.log10(max(self.agc.gain, 1e-20)))
+
     def tx(self, samples: np.ndarray, tx_time: float, eob: bool = False) -> None:
         if self._tx is None:
             return

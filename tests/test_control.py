@@ -50,6 +50,24 @@ def test_reg_cce_geometry(n_prb, cell_id):
         assert flat.max() < regrid.control_span(cell, cfi) * cell.n_sc
 
 
+def test_control_region_idx_covers_narrow_cell_cfi3():
+    """ADVICE r4: narrow cells (n_prb <= 10) span CFI+1 = 4 symbols at
+    CFI=3; the SFBC combined-equalization index must cover symbol 3 or
+    TM2 PDCCH REs there would stay at the noise sentinel."""
+    from srsue_tpu.phy import regrid
+
+    narrow = Cell(n_prb=6, cell_id=3)
+    idx = control._control_region_idx(narrow)
+    assert idx.max() >= 3 * narrow.n_sc  # symbol 3 covered
+    assert idx.max() < regrid.control_span(narrow, 3) * narrow.n_sc
+    # every CFI=3 PDCCH RE lands inside the covered set
+    _, cce_re = control.pdcch_geometry(narrow, 3)
+    assert set(cce_re.reshape(-1).tolist()) <= set(idx.tolist())
+    # wide cells keep the 3-symbol max
+    wide = Cell(n_prb=100, cell_id=3)
+    assert control._control_region_idx(wide).max() < 3 * wide.n_sc
+
+
 def test_phich_groups_disjoint_regs():
     cell = Cell(n_prb=50, cell_id=123)
     tab = control.phich_reg_table(cell)

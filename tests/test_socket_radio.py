@@ -76,6 +76,11 @@ def test_cell_acquisition_over_live_socket(level_db):
     rms_in = float(np.sqrt(np.mean(np.abs(td * scale) ** 2)))
     agc_db = 20 * np.log10(radio.agc.gain * rms_in)
     assert abs(agc_db) < 4.0, (agc_db, level_db)
+    # the applied gain is REPORTED so absolute-power consumers can
+    # refer measurements back to the antenna (ADVICE r4); the Phy
+    # consumes it as rx_gain_offset_db in its dBm conversions
+    assert radio.rx_gain_db == pytest.approx(
+        20 * np.log10(radio.agc.gain), abs=1e-6)
     radio.close()
     peer.close()
 

@@ -46,6 +46,24 @@ def test_subband_schedule_and_payload():
     assert cqi0 >= int("".join(map(str, wb)), 2)
 
 
+def test_subband_occasion_before_first_measurement_keeps_shape():
+    """ADVICE r4: on a subband occasion BEFORE any subband measurement
+    the payload must keep the subband bit count (4+L) — the eNB derives
+    the expected PUCCH format-2 size from the schedule alone, so a 4-bit
+    wideband fallback would garble the decode."""
+    n_prb = 15
+    ctrl = uc.UlCtrl(uc.UlCtrlConfig(cqi_config_index=3,
+                                     cqi_subband_k=1, n_prb=n_prb))
+    ctrl.update_snr(15.0)
+    # no update_subband_snr yet
+    assert ctrl.subband_snr_db is None
+    sb = ctrl.cqi_for_tti(6)  # a subband occasion in the H=3 cycle
+    assert len(sb) == 4 + uc.subband_label_bits(n_prb)
+    assert sb[4] == 0  # label 0, wideband CQI in the CQI field
+    wb = ctrl.cqi_for_tti(1)  # wideband occasions stay 4-bit
+    assert len(wb) == 4
+
+
 @pytest.mark.slow
 def test_subband_cqi_tracks_selective_channel_over_the_air():
     cell, phy, ue, enb_stack, enb = _mk()
