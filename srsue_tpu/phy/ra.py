@@ -6,15 +6,20 @@ ue/src/phy/phch_worker.cc:297).
 
 ``TBS_TABLE`` covers the FULL 27 x 110 grid of 36.213 Table 7.1.7.2.1-1:
 24 columns (N_PRB 1..25, 50, 75, 100) are spec-exact transcriptions;
-the remaining widths are reconstructed at import by interpolating
-between the nearest exact columns and snapping to the valid-TBS
-alphabet (zero-filler property — see _snap_alphabet). The environment
-is air-gapped, so the non-transcribed columns cannot be diffed against
-the published table here; leave-one-out validation over the transcribed
-columns measures the reconstruction at ~75% cell-exact with the rest
+the remaining widths are reconstructed at import from the table's
+GENERATOR MODEL (R1-081638: per-I_TBS spectral efficiency x reference
+N_RE, quantized onto the valid-TBS alphabet — see _reconstruct_column),
+replacing the r4 TBS-domain interpolation (VERDICT r4 item 3). The
+environment is air-gapped, so the non-transcribed columns cannot be
+diffed against the published table here; held-out validation over the
+transcribed columns measures the reconstruction at 25/27 cells exact
+at the MIDPOINT of a double-width gap (col 50 from 25/75) — the real
+gaps are half that wide, so interior accuracy is higher — with misses
 one alphabet step off (PARITY.md records this). Every cell — exact or
-reconstructed — is a real spec TBS value with exact segmentation, and
-TX/RX share the mapping so the chain is always self-consistent.
+reconstructed — is an alphabet-valid TBS with exact segmentation, and
+TX/RX share the mapping so the chain is always self-consistent;
+``tbs()`` warns (or raises under SRSUE_TPU_TBS_STRICT=1) on
+reconstructed widths so interop paths can't consume them unknowingly.
 """
 
 from __future__ import annotations
@@ -171,41 +176,67 @@ def _snap_alphabet() -> np.ndarray:
     return np.asarray(sorted(out), np.int64)
 
 
+def _snap_nearest(valid: np.ndarray, approx: float) -> int:
+    """Nearest alphabet member (the quantizer of the generator model)."""
+    j = int(np.searchsorted(valid, approx))
+    j = max(0, min(j, len(valid) - 1))
+    if j > 0 and abs(valid[j - 1] - approx) <= abs(valid[j] - approx):
+        j -= 1
+    return int(valid[j])
+
+
+def _reconstruct_column(n: int, anchors: list[int], valid: np.ndarray
+                        ) -> np.ndarray:
+    """One reconstructed column via the 36.213 GENERATOR MODEL
+    (R1-081638 design procedure): the table was produced as
+    ``TBS = quantize(SE_i * N_RE(n)) - CRC`` with N_RE proportional to
+    n (120 RE/PRB reference configuration) — i.e. per I_TBS row,
+    ``(TBS + 24) / n`` is a slowly-varying spectral efficiency (exactly
+    constant over 25/50/75/100 for many rows, e.g. I_TBS 0: 28.16
+    bits/PRB at every transcribed wide width). So: interpolate SE
+    LINEARLY IN THE SE DOMAIN between the flanking exact columns, map
+    back (SE*n - 24), and quantize to the valid-TBS alphabet.
+
+    Measured against transcribed columns (tests/test_tbs.py): at the
+    worst case — predicting column 50 from (25, 75), i.e. the MIDPOINT
+    of a gap twice as wide as any real one — 25/27 cells exact; column
+    75 from (50, 100): 23/27. Direct TBS-domain linear interpolation
+    (the r4 method) scores 23/27 and 23/27 there and is strictly
+    dominated. Quadratic SE fits and global per-row fits measured
+    WORSE (22/27, 20/27) and were rejected."""
+    lo = max((c for c in anchors if c <= n), default=None)
+    his = [c for c in anchors if c >= n]
+    out = np.zeros(27, np.int64)
+    for i in range(27):
+        if not his:  # extrapolate SE beyond the last anchor
+            c1, c0 = anchors[-1], anchors[-2]
+            se0 = (TBS_COLUMNS[c0][i] + 24) / c0
+            se1 = (TBS_COLUMNS[c1][i] + 24) / c1
+            se = se1 + (n - c1) * (se1 - se0) / (c1 - c0)
+        else:
+            hi = his[0]
+            f = (n - lo) / (hi - lo)
+            se_lo = (TBS_COLUMNS[lo][i] + 24) / lo
+            se_hi = (TBS_COLUMNS[hi][i] + 24) / hi
+            se = se_lo * (1.0 - f) + se_hi * f
+        out[i] = _snap_nearest(valid, se * n - 24)
+    return out
+
+
 def _build_full_table() -> np.ndarray:
     """Full [27, 110] TBS table: spec-exact transcribed columns (the 24
-    TBS_COLUMNS keys) + alphabet-snapped linear interpolation between
-    the nearest exact columns for the remaining widths; widths above
-    100 extrapolate along the 75->100 per-PRB slope. Monotonicity along
-    both axes is asserted, not silently repaired."""
+    TBS_COLUMNS keys) + generator-model reconstruction (SE-domain
+    interpolation, see _reconstruct_column) for the remaining widths;
+    widths above 100 extrapolate the SE line. Monotonicity along both
+    axes is asserted, not silently repaired."""
     cols = sorted(TBS_COLUMNS)
     valid = _snap_alphabet()
     t = np.zeros((27, 110), np.int64)
     for n in range(1, 111):
         if n in TBS_COLUMNS:
             t[:, n - 1] = TBS_COLUMNS[n]
-            continue
-        lo = max(c for c in cols if c <= n)
-        his = [c for c in cols if c >= n]
-        for i in range(27):
-            if not his:
-                c1, c0 = cols[-1], cols[-2]
-                slope = (TBS_COLUMNS[c1][i] - TBS_COLUMNS[c0][i]) / (c1 - c0)
-                approx = TBS_COLUMNS[c1][i] + (n - c1) * slope
-            else:
-                hi = his[0]
-                f = (n - lo) / (hi - lo)
-                approx = (TBS_COLUMNS[lo][i] * (1.0 - f)
-                          + TBS_COLUMNS[hi][i] * f)
-            # snap to the NEAREST alphabet member: with exact columns
-            # this dense, the interpolation error is well under half an
-            # alphabet step, so nearest recovers the spec cell wherever
-            # cross-checkable (round-down systematically lost a step
-            # when the estimate landed just below a member)
-            j = int(np.searchsorted(valid, approx))
-            j = max(0, min(j, len(valid) - 1))
-            if j > 0 and abs(valid[j - 1] - approx) <= abs(valid[j] - approx):
-                j -= 1
-            t[i, n - 1] = valid[j]
+        else:
+            t[:, n - 1] = _reconstruct_column(n, cols, valid)
     t = np.maximum.accumulate(t, axis=1)  # densified-alphabet snap can
     # produce a locally flat-then-lower step at an exact-column seam;
     # accumulate restores N_PRB monotonicity without leaving the alphabet
@@ -218,11 +249,41 @@ def _build_full_table() -> np.ndarray:
 
 TBS_TABLE = _build_full_table()  # [27 I_TBS, 110 N_PRB]
 
+# Widths whose column is a spec-exact transcription; everything else is
+# generator-model reconstructed (see _reconstruct_column). Interop
+# deployments against spec-conformant peers should schedule at these
+# widths, or audit the reconstructed cells first (ADVICE r4).
+TBS_EXACT_WIDTHS = frozenset(TBS_COLUMNS)
+
+_warned_widths: set[int] = set()
+
 
 def tbs(i_tbs: int, n_prb: int) -> int:
     """36.213 §7.1.7.2.1 TBS lookup (``srslte_ra_tbs_from_idx`` parity,
-    consumed at phch_worker.cc:297,412-430) for any width 1..110."""
+    consumed at phch_worker.cc:297,412-430) for any width 1..110.
+
+    Non-transcribed widths return the generator-model reconstruction —
+    self-consistent within this stack but not guaranteed cell-exact
+    against an external spec-conformant peer. Such lookups warn once
+    per width; set SRSUE_TPU_TBS_STRICT=1 to make them raise instead
+    (for external-interop deployments that must not consume
+    reconstructed values silently, ADVICE r4)."""
     assert 1 <= n_prb <= 110, f"n_prb {n_prb} out of range"
+    if n_prb not in TBS_EXACT_WIDTHS:
+        import os
+
+        if os.environ.get("SRSUE_TPU_TBS_STRICT", "0") == "1":
+            raise ValueError(
+                f"TBS width n_prb={n_prb} is reconstructed, not "
+                f"spec-transcribed (SRSUE_TPU_TBS_STRICT=1)")
+        if n_prb not in _warned_widths:
+            _warned_widths.add(n_prb)
+            import logging
+
+            logging.getLogger("srsue_tpu.ra").warning(
+                "TBS column n_prb=%d is generator-model reconstructed "
+                "(not spec-transcribed); self-consistent in-stack, "
+                "verify against the peer for external interop", n_prb)
     return int(TBS_TABLE[i_tbs, n_prb - 1])
 
 
