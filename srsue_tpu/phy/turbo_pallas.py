@@ -45,6 +45,31 @@ relay's ~28 ms fixed dispatch):
     unrolled), lax.scan iteration loop (r2: +10 ms/iter), plus the r2/r3
     rejects (NORM_EVERY=16, SUBLANES=16/32, B=512, tiled iteration
     loop).
+
+r5 ledger (tools/bench_forced_loop.py, flagship 3328 x 6144 x 8 forced
+iters; chained marginals):
+  * unrolled (default): 44.9 ms/decode marginal, first+compile 40-72 s
+    (relay-server cache state dependent). Kernel-only 16 x 2.13 ms
+    (bench_kernel_variants) -> glue+CRC ~11 ms.
+  * SRSUE_TPU_TURBO_FORCED=loop (fori_loop body, natural-layout
+    carries): compile 6 s (12x) but 101.7 ms marginal — the body's
+    carry-adjacent tile/untile transposes cannot be absorbed the way
+    the unrolled graph absorbs them (a bare tile+untile pair measures
+    5.8 ms, tools/bench_gather_forms.py). REJECTED for runtime; kept
+    selectable as the compile-time escape hatch.
+  * SRSUE_TPU_TURBO_FORCED=loop_tiled (fori_loop, TILED carries,
+    untile->QPP-gather->tile interior to the body): 607 ms — the
+    interior composition does NOT get absorbed inside a loop body
+    either; XLA:TPU lowers it near-scalar. REJECTED, kept as the
+    measurement record.
+  * SUBLANES=16 re-measured on the forced path: kernel-only 2.79 vs
+    2.13 ms/half (SLOWER today, contradicting the r4 1.12x note) and
+    end-to-end equal-at-best. Still rejected.
+  * VERDICT r4's "one kernel per iteration with in-kernel QPP
+    interleave" is VMEM-infeasible at K=6144: one block's streams are
+    25 MB/stream in (8,128) tiles vs ~16 MB VMEM; windowed layouts
+    (the only fit) put the interleave across grid steps, out of any
+    single kernel instance's reach.
 """
 
 from __future__ import annotations
@@ -742,16 +767,43 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
     le21 = init[0]
     le12 = init[0]
     ab1 = bb1 = ab2 = bb2 = zb
-    for _ in range(n_iters):
-        le12, ab1, bb1 = bcjr_half_windowed_pallas(
-            sys1, par1, le21, tail1_sys, tail1_par, ab1, bb1, window,
-            interpret=interpret, par_tiles=par1_t,
-        )
-        le21_raw, ab2, bb2 = bcjr_half_windowed_pallas(
-            sys2, par2, le12[:, perm], tail2_sys, tail2_par, ab2, bb2,
-            window, interpret=interpret, par_tiles=par2_t,
-        )
-        le21 = le21_raw[:, inv]
+    forced_form = os.environ.get("SRSUE_TPU_TURBO_FORCED", "unroll")
+    if forced_form == "loop_tiled":
+        return decode_forced_loop_tiled(d_llrs, k, n_iters, crc_mat=crc_mat,
+                                        window=window, interpret=interpret)
+    if forced_form == "loop":
+        # fori_loop iteration body: ONE compiled body instead of n_iters
+        # unrolled copies — the XLA graph (and compile time) shrinks
+        # ~n_iters-fold. The r2-era "+10 ms/iter for lax.scan" no longer
+        # applies: the loop-invariant tile transposes are hoisted via
+        # pretile_par, so the body carries only the genuinely
+        # iteration-varying arrays. Kept selectable while the unrolled
+        # form remains the measured-fastest runtime.
+        def fbody(_, carry):
+            le12_c, le21_c, a1, b1, a2, b2 = carry
+            le12_n, a1n, b1n = bcjr_half_windowed_pallas(
+                sys1, par1, le21_c, tail1_sys, tail1_par, a1, b1, window,
+                interpret=interpret, par_tiles=par1_t,
+            )
+            le21_raw, a2n, b2n = bcjr_half_windowed_pallas(
+                sys2, par2, le12_n[:, perm], tail2_sys, tail2_par, a2, b2,
+                window, interpret=interpret, par_tiles=par2_t,
+            )
+            return (le12_n, le21_raw[:, inv], a1n, b1n, a2n, b2n)
+
+        le12, le21, *_ = jax.lax.fori_loop(
+            0, n_iters, fbody, (le12, le21, ab1, bb1, ab2, bb2))
+    else:
+        for _ in range(n_iters):
+            le12, ab1, bb1 = bcjr_half_windowed_pallas(
+                sys1, par1, le21, tail1_sys, tail1_par, ab1, bb1, window,
+                interpret=interpret, par_tiles=par1_t,
+            )
+            le21_raw, ab2, bb2 = bcjr_half_windowed_pallas(
+                sys2, par2, le12[:, perm], tail2_sys, tail2_par, ab2, bb2,
+                window, interpret=interpret, par_tiles=par2_t,
+            )
+            le21 = le21_raw[:, inv]
     post = sys1 + le12 + le21
     hard = (post < 0).astype(jnp.uint8)
     ok = crc_ok_of(hard)
@@ -848,6 +900,103 @@ def _tile_padded(x, d: int, T: int, n: int):
     if n_pad > n:
         x = jnp.concatenate([x, jnp.zeros((n_pad - n, d), x.dtype)])
     return tile_windows(x, d, T)
+
+
+def decode_forced_loop_tiled(d_llrs, k: int, n_iters: int, crc_mat=None,
+                             window: int = 64, interpret: bool = False):
+    """Forced-iteration decode as a lax.fori_loop whose CARRIES stay in
+    the VPU tile layout.
+
+    The r4 fori_loop experiment measured +7 ms/iteration over the
+    unrolled form: the loop body began by tiling the carried [B, K]
+    extrinsics and ended by untiling them, and carry-adjacent transposes
+    cannot be absorbed into neighbouring ops the way the unrolled graph
+    absorbs them (tools/bench_gather_forms.py: a bare tile+untile pair
+    costs 5.8 ms at the flagship size). Carrying the TILED streams
+    instead keeps every untile -> QPP gather -> tile sequence interior
+    to the body where XLA folds transposes into the gather; the body
+    then costs what one unrolled iteration costs, while the XLA graph
+    (and compile time) shrinks ~n_iters-fold.
+
+    The flat composed-index gather of decode_forced_tiled is NOT used:
+    XLA:TPU lowers it to a near-scalar loop (~220 ms); the via-natural
+    form gathers [B, K] on the minor dim with a shared [K] index, the
+    fast class (SKILL.md r3)."""
+    assert k % window == 0
+    B = d_llrs.shape[0]
+    W = k // window
+    n = B * W
+    m = _tiled_maps(B, k, window)
+    T = m["T"]
+    n_pad = m["n_pad"]
+
+    perm = jnp.asarray(turbo.qpp_perm(k))
+    inv = jnp.asarray(turbo.qpp_inv(k))
+    sys1 = d_llrs[:, 0, :k]
+    par1 = d_llrs[:, 1, :k]
+    par2 = d_llrs[:, 2, :k]
+    t = d_llrs[:, :, k : k + 4]
+    tail1_sys = jnp.stack([t[:, 0, 0], t[:, 2, 0], t[:, 1, 1]], axis=1)
+    tail1_par = jnp.stack([t[:, 1, 0], t[:, 0, 1], t[:, 2, 1]], axis=1)
+    tail2_sys = jnp.stack([t[:, 0, 2], t[:, 2, 2], t[:, 1, 3]], axis=1)
+    tail2_par = jnp.stack([t[:, 1, 2], t[:, 0, 3], t[:, 2, 3]], axis=1)
+
+    sys1_t = _tile_padded(sys1.reshape(n, window), window, T, n)
+    sys2_t = _tile_padded(sys1[:, perm].reshape(n, window), window, T, n)
+    par1_t = pretile_par(par1, window)
+    par2_t = pretile_par(par2, window)
+
+    def tail_tiled(ts, tp):
+        bt = turbo._tail_beta(ts, tp, B)
+        lin = jnp.zeros((B, W, 8), jnp.float32).at[:, W - 1, :].set(bt)
+        return _tile_padded(lin.reshape(n, 8), 8, T, n)
+
+    bt1_t = tail_tiled(tail1_sys, tail1_par)
+    bt2_t = tail_tiled(tail2_sys, tail2_par)
+    _, _, ga, gb, first_m, last_m, known0 = m["build"]()
+    sshape, bshape = m["sshape"], m["bshape"]
+
+    def gbnd(x_t, g):
+        return x_t.reshape(-1)[g].reshape(bshape)
+
+    def regather(x_t, table):
+        """Tiled stream -> natural [B, K] -> minor-dim QPP gather ->
+        tiled stream; the transposes stay interior to the loop body."""
+        x = untile_windows(x_t, window, T, n_pad)[:n].reshape(B, k)
+        xg = x[:, table].reshape(n, window)
+        return _tile_padded(xg, window, T, n)
+
+    zb = jnp.zeros(bshape, jnp.float32)
+    zs = jnp.zeros(sshape, jnp.float32)
+
+    def body(_, carry):
+        ext1_t, ext2_t, al1, bf1, al2, bf2 = carry
+        lin1_t = sys1_t + regather(ext2_t, inv)
+        a0 = jnp.where(first_m, known0, gbnd(al1, ga))
+        b0 = jnp.where(last_m, bt1_t, gbnd(bf1, gb))
+        ext1_t, al1, bf1 = half_tiled(
+            lin1_t, par1_t, a0, b0, window, interpret=interpret)
+        lin2_t = sys2_t + regather(ext1_t, perm)
+        a0 = jnp.where(first_m, known0, gbnd(al2, ga))
+        b0 = jnp.where(last_m, bt2_t, gbnd(bf2, gb))
+        ext2_t, al2, bf2 = half_tiled(
+            lin2_t, par2_t, a0, b0, window, interpret=interpret)
+        return (ext1_t, ext2_t, al1, bf1, al2, bf2)
+
+    ext1_t, ext2_t, *_ = jax.lax.fori_loop(
+        0, n_iters, body, (zs, zs, zb, zb, zb, zb))
+
+    post_t = sys1_t + ext1_t + regather(ext2_t, inv)
+    post = untile_windows(post_t, window, T, n_pad)[:n].reshape(B, k)
+    hard = (post < 0).astype(jnp.uint8)
+    if crc_mat is None:
+        ok = jnp.zeros((B,), bool)
+    else:
+        crc_m = jnp.asarray(crc_mat.astype(np.float32))
+        syn = jnp.mod(jnp.round(hard.astype(jnp.float32) @ crc_m), 2.0)
+        ok = jnp.sum(syn, axis=-1) == 0
+    iters_used = jnp.full((B,), n_iters, jnp.int32)
+    return hard, iters_used, ok
 
 
 def decode_forced_tiled(d_llrs, k: int, n_iters: int, crc_mat=None,

@@ -197,3 +197,26 @@ def test_tiled_forced_path_matches_window_linear(monkeypatch):
         d, k, 3, crc_mat=m, window=64, early_exit=False, interpret=True)
     np.testing.assert_array_equal(np.asarray(h_dft), np.asarray(h_ref))
     np.testing.assert_array_equal(np.asarray(ok_dft), np.asarray(ok_ref))
+
+
+@pytest.mark.parametrize("form", ["loop", "loop_tiled"])
+def test_forced_loop_forms_match_unrolled(monkeypatch, form):
+    """The env-selectable fori_loop forced forms (r5 perf ledger:
+    rejected for runtime, kept as compile-time escape hatch /
+    measurement record) stay bit-identical to the unrolled path."""
+    k = 512
+    rng = np.random.default_rng(13)
+    payloads, llrs, m = _make(k, 5, 1.0, rng)  # 5 blocks: pad path too
+    d = jnp.asarray(llrs)
+
+    monkeypatch.setenv("SRSUE_TPU_TURBO_FORCED", "unroll")
+    h_ref, it_ref, ok_ref = turbo_pallas.decode(
+        d, k, 3, crc_mat=m, window=64, early_exit=False, interpret=True)
+    monkeypatch.setenv("SRSUE_TPU_TURBO_FORCED", form)
+    h, it, ok = turbo_pallas.decode(
+        d, k, 3, crc_mat=m, window=64, early_exit=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    np.testing.assert_array_equal(np.asarray(it), np.asarray(it_ref))
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(h), payloads)
