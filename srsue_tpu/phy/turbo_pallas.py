@@ -48,9 +48,25 @@ relay's ~28 ms fixed dispatch):
 
 r5 ledger (tools/bench_forced_loop.py, flagship 3328 x 6144 x 8 forced
 iters; chained marginals):
-  * unrolled (default): 44.9 ms/decode marginal, first+compile 40-72 s
-    (relay-server cache state dependent). Kernel-only 16 x 2.13 ms
-    (bench_kernel_variants) -> glue+CRC ~11 ms.
+  * COST-MODEL CORRECTION (xprof device trace): the Mosaic kernel is
+    ~0.39 ms/half — the VPU retires ~4 (8,128) ops/cycle, NOT the ~1
+    the r4 ledger inferred. bench_kernel_variants' "kernel-only"
+    number chained half_windowed_pallas WHOLE, so its 2.13 ms/half
+    included the tile/untile transposes; the true per-decode split was
+    kernel ~6 ms, XLA copies/reshapes/pads (transposes + boundary
+    concats) ~40 ms. The r4 "instruction-issue-bound" conclusion and
+    its op-count-reduction program were therefore aimed at 13% of the
+    cost; the LAYOUT was the 87%.
+  * BLOCK-MINOR layout (decode_forced_bm / decode_bm_early_exit, the
+    r5 default): lane = block%128, sublane = window%8 — the QPP
+    interleave becomes a [Bg, K, 128] middle-axis gather (0.30 ms per
+    78 MB stream, memory-bound; 0.08 ms/iter inside while bodies) and
+    boundary chaining a small gather; streams stay in kernel layout
+    across ALL iterations. Forced decode marginal 28.5 ms vs 45.5
+    unrolled-linear (1.6x), measured back-to-back.
+  * unrolled-linear (SRSUE_TPU_TURBO_LAYOUT=linear): 44.9-45.5
+    ms/decode marginal, first+compile 40-72 s (relay-server cache
+    state dependent).
   * SRSUE_TPU_TURBO_FORCED=loop (fori_loop body, natural-layout
     carries): compile 6 s (12x) but 101.7 ms marginal — the body's
     carry-adjacent tile/untile transposes cannot be absorbed the way
@@ -481,6 +497,25 @@ def _variant():
     return v, SUBLANES, jnp.float32
 
 
+def _bm_window(k: int, window: int) -> int | None:
+    """Window length for the block-minor layout: the caller's window if
+    its count already tiles the sublanes, else the longest alternative
+    with K % lw == 0, (K/lw) % 8 == 0 and lw % NORM_EVERY == 0 (kernel
+    constraint). None when no such window exists (fall back to the
+    window-linear paths)."""
+    if k % window == 0 and (k // window) % 8 == 0 \
+            and window % NORM_EVERY == 0:
+        return window
+    # longer windows converge faster at low iteration counts (same
+    # total trellis work — windows partition the block), so prefer the
+    # longest near-64 alternative; e.g. K=5824 -> lw=104 (W=56).
+    for lw in (104, 96, 112, 80, 128, 72, 56, 48, 40, 32):
+        if k % lw == 0 and (k // lw) % 8 == 0 and lw % NORM_EVERY == 0 \
+                and k // lw >= 2:
+            return lw
+    return None
+
+
 def tile_windows(x, d, T, sublanes: int = SUBLANES):
     """[n, d] -> [T*d, sublanes, 128] with d-major rows inside each
     tile."""
@@ -663,6 +698,24 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
         d_llrs = d_llrs * (32.0 / rms)
     B = d_llrs.shape[0]
     W = k // window
+    # block-minor layout (r5): the default whenever a window length
+    # exists whose count tiles the sublanes (W % 8 == 0; e.g. the
+    # flagship K=5824 doesn't tile at lw=64 (W=91) but does at lw=56
+    # (W=104)) and the block batch either fills the lanes exactly or is
+    # large enough that zero-padding to full lanes costs less than the
+    # transposes it removes. SRSUE_TPU_TURBO_LAYOUT=linear restores the
+    # r4 paths.
+    bm_w = _bm_window(k, window)
+    bm_ok = (os.environ.get("SRSUE_TPU_TURBO_LAYOUT", "bm") == "bm"
+             and bm_w is not None and (B % 128 == 0 or B >= 256))
+    if bm_ok and crc_mat is not None and early_exit:
+        return decode_bm_early_exit(d_llrs, k, n_iters, crc_mat,
+                                    window=bm_w, interpret=interpret)
+    if (bm_ok and not (crc_mat is not None and early_exit)
+            and os.environ.get("SRSUE_TPU_TURBO_FORCED", "unroll")
+            == "unroll"):
+        return decode_forced_bm(d_llrs, k, n_iters, crc_mat=crc_mat,
+                                window=bm_w, interpret=interpret)
     perm = jnp.asarray(turbo.qpp_perm(k))
     inv = jnp.asarray(turbo.qpp_inv(k))
 
@@ -900,6 +953,266 @@ def _tile_padded(x, d: int, T: int, n: int):
     if n_pad > n:
         x = jnp.concatenate([x, jnp.zeros((n_pad - n, d), x.dtype)])
     return tile_windows(x, d, T)
+
+
+# ---------------------------------------------------------------------------
+# BLOCK-MINOR tiled layout ("bm") — r5
+# ---------------------------------------------------------------------------
+#
+# The r5 device trace (xprof) overturned the r4 cost model: the Mosaic
+# kernel is ~0.39 ms/half (the VPU retires ~4 ops/cycle, not 1), and the
+# ~40 ms/decode previously attributed to "kernel" is actually XLA
+# copies/reshapes/pads — the [n, lw] <-> VPU-tile transposes and the
+# boundary concats executed per half. The fix is a LAYOUT, not a faster
+# kernel: assign window w of block b to slot
+#
+#     lane = b % 128,  sublane = (w % 8),  tile = (b//128, w//8)
+#
+# (requires B % 128 == 0 and W % 8 == 0). Then for fixed (block-group,
+# lane) the bit index j enumerates the MIDDLE axis of the bitcast view
+# [Bg, K, 128], and the QPP interleave becomes a middle-axis gather with
+# a shared [K] index — measured 0.30 ms per 78 MB stream on v5e
+# (memory-bound), vs ~2.6 ms per tile+untile pair it replaces. Window
+# boundary chaining becomes the same gather on the small [Bg, W*8, 128]
+# boundary view (no concats), and the streams stay in the kernel layout
+# across ALL iterations: the only full-size transposes left are one
+# entry per stream and one exit for the posterior.
+
+
+@functools.lru_cache(maxsize=16)
+def _bm_maps(B: int, K: int, lw: int):
+    """Index maps for the block-minor layout (numpy, host-cached)."""
+    W = K // lw
+    assert B % 128 == 0 and W % 8 == 0
+    Bg, Wj = B // 128, W // 8
+    T = Bg * Wj
+
+    def o_of_j(j):
+        wj = j // lw // 8
+        s = (j // lw) % 8
+        t = j % lw
+        return (wj * lw + t) * 8 + s
+
+    def j_of_o(o):
+        wj = o // (lw * 8)
+        t = (o % (lw * 8)) // 8
+        s = o % 8
+        return (wj * 8 + s) * lw + t
+
+    o = np.arange(K)
+    j = j_of_o(o)
+    perm = turbo.qpp_perm(K).astype(np.int64)
+    inv = turbo.qpp_inv(K).astype(np.int64)
+    omap_perm = o_of_j(perm[j]).astype(np.int32)
+    omap_inv = o_of_j(inv[j]).astype(np.int32)
+
+    # boundary view [Bg, W*8, 128]: ob = ((wi//8)*8 + state)*8 + wi%8
+    def ob_of(wi, st):
+        return ((wi // 8) * 8 + st) * 8 + (wi % 8)
+
+    obs = np.arange(W * 8)
+    wi = (obs // 64) * 8 + obs % 8
+    st = (obs // 8) % 8
+    amap = ob_of(np.maximum(wi - 1, 0), st).astype(np.int32)
+    bmap = ob_of(np.minimum(wi + 1, W - 1), st).astype(np.int32)
+    first_m = (wi == 0)[None, :, None]
+    last_m = (wi == W - 1)[None, :, None]
+    known0 = np.where(st == 0, 0.0, _NEG).astype(np.float32)[None, :, None]
+    tail_rows = np.asarray([ob_of(W - 1, s) for s in range(8)], np.int32)
+    return dict(Bg=Bg, Wj=Wj, T=T, W=W,
+                omap_perm=omap_perm, omap_inv=omap_inv,
+                amap=amap, bmap=bmap, first_m=first_m, last_m=last_m,
+                known0=known0, tail_rows=tail_rows)
+
+
+def to_bm(x, lw: int):
+    """[B, K] natural -> [T*lw, 8, 128] block-minor kernel layout."""
+    B, K = x.shape
+    Bg, W = B // 128, K // lw
+    Wj = W // 8
+    return (x.reshape(Bg, 128, Wj, 8, lw)
+            .transpose(0, 2, 4, 3, 1).reshape(Bg * Wj * lw, 8, 128))
+
+
+def from_bm(x_t, B: int, K: int, lw: int):
+    Bg, W = B // 128, K // lw
+    Wj = W // 8
+    return (x_t.reshape(Bg, Wj, lw, 8, 128)
+            .transpose(0, 4, 1, 3, 2).reshape(B, K))
+
+
+class _BmCtx:
+    """Shared setup for the block-minor decode paths: tiled streams,
+    boundary machinery and the layout index maps."""
+
+    def __init__(self, d_llrs, k: int, window: int, interpret: bool):
+        self.B_orig = d_llrs.shape[0]
+        pad = (-self.B_orig) % 128
+        if pad:
+            # pad the block batch to full lanes; padded blocks carry
+            # zero LLRs (callers mark them done up front on the
+            # early-exit path and slice every output back to B_orig)
+            d_llrs = jnp.concatenate(
+                [d_llrs, jnp.zeros((pad,) + d_llrs.shape[1:],
+                                   d_llrs.dtype)])
+        B = d_llrs.shape[0]
+        self.B, self.k, self.window = B, k, window
+        self.interpret = interpret
+        m = _bm_maps(B, k, window)
+        self.m = m
+        self.Bg, self.T = m["Bg"], m["T"]
+
+        perm = jnp.asarray(turbo.qpp_perm(k))
+        sys1 = d_llrs[:, 0, :k]
+        par1 = d_llrs[:, 1, :k]
+        par2 = d_llrs[:, 2, :k]
+        t = d_llrs[:, :, k : k + 4]
+        tails = (
+            (jnp.stack([t[:, 0, 0], t[:, 2, 0], t[:, 1, 1]], axis=1),
+             jnp.stack([t[:, 1, 0], t[:, 0, 1], t[:, 2, 1]], axis=1)),
+            (jnp.stack([t[:, 0, 2], t[:, 2, 2], t[:, 1, 3]], axis=1),
+             jnp.stack([t[:, 1, 2], t[:, 0, 3], t[:, 2, 3]], axis=1)),
+        )
+        _, _, dt = _variant()
+        self.sys1_t = to_bm(sys1, window)
+        self.sys2_t = to_bm(sys1[:, perm], window)
+        self.par1_t = to_bm(par1, window).astype(dt)
+        self.par2_t = to_bm(par2, window).astype(dt)
+        self.bt_v = tuple(self._tail_bnd(ts, tp) for ts, tp in tails)
+        self.first_m = jnp.asarray(m["first_m"])
+        self.last_m = jnp.asarray(m["last_m"])
+        self.known0 = jnp.asarray(m["known0"])
+        self.amap = jnp.asarray(m["amap"])
+        self.bmap = jnp.asarray(m["bmap"])
+        self.nb = m["W"] * 8
+        self.zs = jnp.zeros((self.T * window, 8, 128), jnp.float32)
+        self.zb = jnp.zeros((self.T * 8, 8, 128), jnp.float32)
+
+    def _tail_bnd(self, ts, tp):
+        bt = turbo._tail_beta(ts, tp, self.B)  # [B, 8]
+        btr = bt.reshape(self.Bg, 128, 8).transpose(0, 2, 1)
+        v = jnp.full((self.Bg, self.m["W"] * 8, 128), 0.0, jnp.float32)
+        return v.at[:, jnp.asarray(self.m["tail_rows"]), :].set(btr)
+
+    def sgather(self, x_t, which: str):
+        v = x_t.reshape(self.Bg, self.k, 128)
+        omap = jnp.asarray(self.m["omap_" + which])
+        return (v[:, omap, :].reshape(self.T * self.window, 8, 128)
+                .astype(jnp.float32))
+
+    def boundaries(self, al, bf, half_i: int):
+        bv = lambda x: x.reshape(self.Bg, self.nb, 128)  # noqa: E731
+        a0 = jnp.where(self.first_m, self.known0, bv(al)[:, self.amap, :])
+        b0 = jnp.where(self.last_m, self.bt_v[half_i],
+                       bv(bf)[:, self.bmap, :])
+        return (a0.reshape(self.T * 8, 8, 128),
+                b0.reshape(self.T * 8, 8, 128))
+
+    def iteration(self, ext1, ext2, al1, bf1, al2, bf2):
+        """One full turbo iteration entirely in the bm layout."""
+        lin1 = self.sys1_t + self.sgather(ext2, "inv")
+        a0, b0 = self.boundaries(al1, bf1, 0)
+        ext1, al1, bf1 = half_tiled(lin1, self.par1_t, a0, b0, self.window,
+                                    interpret=self.interpret)
+        lin2 = self.sys2_t + self.sgather(ext1, "perm")
+        a0, b0 = self.boundaries(al2, bf2, 1)
+        ext2, al2, bf2 = half_tiled(lin2, self.par2_t, a0, b0, self.window,
+                                    interpret=self.interpret)
+        return (ext1.astype(jnp.float32), ext2.astype(jnp.float32),
+                al1.astype(jnp.float32), bf1.astype(jnp.float32),
+                al2.astype(jnp.float32), bf2.astype(jnp.float32))
+
+    def post(self, ext1, ext2):
+        return self.sys1_t + ext1 + self.sgather(ext2, "inv")
+
+    def finish(self, post_t, crc_mat, iters_used):
+        post = from_bm(post_t, self.B, self.k, self.window)[: self.B_orig]
+        hard = (post < 0).astype(jnp.uint8)
+        if crc_mat is None:
+            ok = jnp.zeros((self.B_orig,), bool)
+        else:
+            crc_m = jnp.asarray(crc_mat.astype(np.float32))
+            syn = jnp.mod(jnp.round(hard.astype(jnp.float32) @ crc_m), 2.0)
+            ok = jnp.sum(syn, axis=-1) == 0
+        return hard, iters_used[: self.B_orig], ok
+
+
+def decode_forced_bm(d_llrs, k: int, n_iters: int, crc_mat=None,
+                     window: int = 64, interpret: bool = False):
+    """Forced-iteration decode in the block-minor layout: zero stream
+    transposes per iteration (see module section note). Bit-identical
+    to the window-linear forced path (same kernel, same max-log
+    arithmetic; pinned in test_turbo_pallas)."""
+    c = _BmCtx(d_llrs, k, window, interpret)
+    carry = (c.zs, c.zs, c.zb, c.zb, c.zb, c.zb)
+    for _ in range(n_iters):
+        carry = c.iteration(*carry)
+    post_t = c.post(carry[0], carry[1])
+    iters = jnp.full((c.B,), n_iters, jnp.int32)
+    return c.finish(post_t, crc_mat, iters)
+
+
+def _bm_pad_done(c: "_BmCtx"):
+    """done-mask initialized True for the zero-LLR padding blocks so
+    they never gate the early-exit while loop."""
+    b_idx = (jnp.arange(c.Bg)[:, None] * 128 + jnp.arange(128)[None, :])
+    return b_idx >= c.B_orig
+
+
+def decode_bm_early_exit(d_llrs, k: int, n_iters: int, crc_mat,
+                         window: int = 64, interpret: bool = False):
+    """Early-exit decode in the block-minor layout: the whole iteration
+    (kernels, QPP gathers, boundary chaining, CRC syndrome) runs inside
+    one lax.while_loop body with bm-layout carries. The per-iteration
+    CRC contracts the middle axis of the [Bg, K, 128] stream view with
+    the row-PERMUTED CRC matrix (M_bm[o] = M[j(o)]) on the MXU, so no
+    layout change is needed to test convergence. Middle-axis gathers
+    lower memory-bound inside while bodies (0.08 ms/iter measured at
+    the flagship shape) — unlike the natural-layout loop forms whose
+    carry transposes cost ~7 ms/iter (r5 ledger)."""
+    c = _BmCtx(d_llrs, k, window, interpret)
+    m = c.m
+    # CRC matrix permuted into bm middle-axis order
+    o = np.arange(k)
+    wj = o // (window * 8)
+    t_ = (o % (window * 8)) // 8
+    s = o % 8
+    j_of_o = (wj * 8 + s) * window + t_
+    m_bm = jnp.asarray(crc_mat.astype(np.float32)[j_of_o])
+
+    def crc_ok_v(post_t):
+        hv = (post_t.reshape(c.Bg, k, 128) < 0).astype(jnp.float32)
+        syn = jnp.mod(jnp.round(jnp.einsum("bol,oc->blc", hv, m_bm)), 2.0)
+        return jnp.sum(syn, axis=-1) == 0  # [Bg, 128]
+
+    def mask_s(done, new, old):
+        d = done[:, None, :]  # [Bg, 1, 128]
+        nv = new.reshape(c.Bg, -1, 128)
+        ov = old.reshape(c.Bg, -1, 128)
+        return jnp.where(d, ov, nv).reshape(new.shape)
+
+    def body(state):
+        i, ext1, ext2, al1, bf1, al2, bf2, done, iters = state
+        new = c.iteration(ext1, ext2, al1, bf1, al2, bf2)
+        ok = crc_ok_v(c.post(new[0], new[1]))
+        outs = tuple(mask_s(done, n, o_) for n, o_ in
+                     zip(new, (ext1, ext2, al1, bf1, al2, bf2)))
+        iters = iters + (~done).astype(jnp.int32)
+        return (i + 1, *outs, done | ok, iters)
+
+    def cond(state):
+        return (state[0] < n_iters) & ~jnp.all(state[7])
+
+    done0 = _bm_pad_done(c)
+    it0 = jnp.zeros((c.Bg, 128), jnp.int32)
+    state = (jnp.int32(0), c.zs, c.zs, c.zb, c.zb, c.zb, c.zb, done0, it0)
+    state = jax.lax.while_loop(cond, body, state)
+    _, ext1, ext2, *_, iters_v = state
+    post_t = c.post(ext1, ext2)
+    # natural-order block indexing: b = bg*128 + lane
+    iters = iters_v.reshape(c.B)
+    hard, iters, ok = c.finish(post_t, crc_mat, iters)
+    return hard, iters, ok
 
 
 def decode_forced_loop_tiled(d_llrs, k: int, n_iters: int, crc_mat=None,
