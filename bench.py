@@ -106,7 +106,13 @@ def add_noise(rng, td, p_sig, snr_db):
 
 def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
             early_exit: bool, eq: str = "zf"):
-    """The full honest per-TTI chain as ONE jitted function."""
+    """The full honest per-TTI chain as ONE jitted function.
+
+    eq: "zf" | "mmse" (per-RE noise-weighted demap, information-
+    equivalent in SISO) | "zf_scalar" (ZF with the noise variance
+    AVERAGED over the allocation before demap — the naive receiver a
+    scalar noise estimate gives; on frequency-selective channels this
+    is what MMSE/per-RE weighting measurably beats)."""
     import jax.numpy as jnp
 
     from srsue_tpu.phy import chest, control, dci, equalize, ofdm
@@ -139,6 +145,9 @@ def make_rx(cell, grant, subframe, cfi, rnti, dci_bits, expected,
         x_eq, nv_eff = eq_fn(
             codec.extract_re(grid), codec.extract_re(h), nvar
         )
+        if eq == "zf_scalar":
+            nv_eff = jnp.broadcast_to(
+                jnp.mean(nv_eff, axis=-1, keepdims=True), nv_eff.shape)
         payload, tb_ok, blk_ok, iters = codec.decode(x_eq, nv_eff)
         n_ok = jnp.sum(tb_ok.astype(jnp.float32))
         bit_match = jnp.mean(
@@ -315,9 +324,67 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
     rx_c32 = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
                              expected[:n_c], early_exit=False))
     r_c32 = timed(rx_c32, iq_op[:n_c], f"carriers{n_c}x1sf", nb=n_c)
+    # ... and the realistic operating mode of the same point: CRC early
+    # exit (runs 1.0x iterations at this SNR) — VERDICT r4 item 5
+    rx_c32_ee = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
+                                expected[:n_c], early_exit=True))
+    r_c32_ee = timed(rx_c32_ee, iq_op[:n_c], f"carriers{n_c}x1sf-ee",
+                     nb=n_c)
+
+    # frequency-SELECTIVE waterfall (VERDICT r4 item 4a): a 2-tap
+    # channel with a 12-sample delay (well inside the 144-sample CP)
+    # ripples |H| by +-3.5 dB with period nfft/12 ~ 171 subcarriers —
+    # this is where per-RE noise weighting (MMSE / weighted ZF) and the
+    # chest denoiser's adaptive FIR span become visible. Three
+    # receivers on the SAME impaired IQ: per-RE-weighted MMSE, per-RE
+    # weighted ZF (information-equivalent in SISO — recorded to verify
+    # that equivalence rather than assert it), and scalar-noise ZF (the
+    # naive receiver; measurably worse here).
+    # calibrated on v5e (B=64 sweep): mmse BLER 1.6% @ 21 dB (zf
+    # IDENTICAL — the SISO equivalence holds to the bit), zf_scalar 27%
+    MP_SNR = 21.0
+    taps = np.zeros(13, np.complex64)
+    taps[0], taps[12] = 1.0, 0.5
+    taps /= np.sqrt(np.sum(np.abs(taps) ** 2))
+    td_mp = np.stack([np.convolve(t, taps)[: td.shape[1]] for t in td])
+    iq_mp = jnp.asarray(iq_pairs(add_noise(rng, td_mp, p_sig, MP_SNR)))
+    r_mp = {}
+    for eq_kind in ("mmse", "zf", "zf_scalar"):
+        rx_mp = jax.jit(make_rx(cell, grant, subframe, cfi, rnti, dci_bits,
+                                expected, early_exit=True, eq=eq_kind))
+        r_mp[eq_kind] = timed(rx_mp, iq_mp, f"multipath-{eq_kind}@{MP_SNR:.0f}dB",
+                              want_all_ok=False, control_ok=False)
+    assert r_mp["zf_scalar"]["bler"] >= r_mp["mmse"]["bler"], r_mp
+
+    # UL PUSCH encode throughput (VERDICT r4 item 5b; encode_pusch
+    # parity, phch_worker.cc:545-590): the production UL path is
+    # host-side (one small subframe per TTI — a batch dimension never
+    # exists on the real UL), so this is an honest host number over the
+    # native C++ turbo encoder + numpy DFT-precode/map.
+    from srsue_tpu.phy.cell import UlGrant
+    from srsue_tpu.phy.pusch import PuschCodec
+    from srsue_tpu.phy import ra as ra_mod
+
+    gd = ra_mod.dl_grant(50, 20)  # 50 PRB, 64QAM — a fat UL allocation
+    ul_grant = UlGrant(n_prb=gd.n_prb, prb_start=gd.prb_start, mcs=gd.mcs,
+                       mod_order=gd.mod_order, tbs=gd.tbs, rv=0)
+    ul_codec = PuschCodec(cell, ul_grant, rnti=rnti, subframe=2)
+    ul_payloads = [rng.integers(0, 2, ul_grant.tbs).astype(np.uint8)
+                   for _ in range(8)]
+    ul_codec.encode_sf(ul_payloads[0])  # warm caches
+    t0 = time.time()
+    n_enc = 0
+    while time.time() - t0 < 2.0:
+        ul_codec.encode_sf(ul_payloads[n_enc % 8])
+        n_enc += 1
+    dt_enc = (time.time() - t0) / n_enc
+    pusch_mbps = ul_grant.tbs / dt_enc / 1e6
+    print(f"[{device_kind}] pusch-encode(host): {dt_enc*1e3:.2f} ms/sf "
+          f"(TBS {ul_grant.tbs}) -> {pusch_mbps:.1f} Mbps",
+          file=sys.stderr, flush=True)
 
     # TM2 Alamouti point (BASELINE ladder config 4), data-path chain
-    B2 = min(B, 64)
+    B2 = min(B, 128)  # 128 sf x 13 blocks = 1664: bm-layout eligible
     (cell2, grant2, sf2, rnti2, codec2, pl2, td2, p2, rng2) = build_tm2(B2)
     iq2 = jnp.asarray(iq_pairs(add_noise(rng2, td2, p2,
                                          SNR_OPERATING + 2)))
@@ -342,6 +409,14 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
         "tm2_mbps": r_tm2["mbps"],
         "carriers32_ms": r_c32["dt_ms"],
         "carriers32_mbps": r_c32["mbps"],
+        "carriers32_ee_ms": r_c32_ee["dt_ms"],
+        "carriers32_ee_iters": r_c32_ee["iters"],
+        "mp_snr_db": MP_SNR,
+        "mp_mmse_mbps": r_mp["mmse"]["mbps"],
+        "mp_mmse_bler": r_mp["mmse"]["bler"],
+        "mp_zf_bler": r_mp["zf"]["bler"],
+        "mp_zf_scalar_bler": r_mp["zf_scalar"]["bler"],
+        "pusch_encode_mbps": pusch_mbps,
     }
 
 
@@ -415,6 +490,18 @@ def main() -> None:
                 "carriers32_ms": round(result.get("carriers32_ms", 0.0), 2),
                 "carriers32_mbps": round(result.get("carriers32_mbps", 0.0),
                                          2),
+                "carriers32_ee_ms": round(result.get("carriers32_ee_ms",
+                                                     0.0), 2),
+                "carriers32_ee_iters": round(
+                    result.get("carriers32_ee_iters", 0.0), 2),
+                "mp_snr_db": result.get("mp_snr_db", 0.0),
+                "mp_mmse_mbps": round(result.get("mp_mmse_mbps", 0.0), 2),
+                "mp_mmse_bler": round(result.get("mp_mmse_bler", 0.0), 4),
+                "mp_zf_bler": round(result.get("mp_zf_bler", 0.0), 4),
+                "mp_zf_scalar_bler": round(
+                    result.get("mp_zf_scalar_bler", 0.0), 4),
+                "pusch_encode_mbps": round(
+                    result.get("pusch_encode_mbps", 0.0), 2),
             }
         ),
         flush=True,
