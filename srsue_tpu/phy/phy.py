@@ -40,7 +40,8 @@ from dataclasses import replace
 
 import numpy as np
 
-from . import chest, control, dci, equalize, ofdm, prach as prach_mod, pusch, ra
+from . import chest, control, dci, equalize, ofdm, prach as prach_mod, \
+    pusch, ra, sync
 from .cell import Cell, UlGrant
 from .pdsch import PdschCodec
 from .powerctrl import UlPower, UlPowerConfig
@@ -100,6 +101,16 @@ class Phy:
         # The drive loop sets this per subframe from radio.rx_gain_db.
         self.rx_gain_offset_db = 0.0
         self.pathloss_db = 0.0
+        # CFO tracking + UL pre-compensation (VERDICT r4 item 4b).
+        # cfo_norm = tracked DL CFO as a fraction of the 15 kHz
+        # subcarrier spacing; removed from each DL subframe before demod
+        # (phch_recv's per-subframe srslte_cfo_correct) and
+        # PRE-compensated onto every UL waveform — the shared-LO offset
+        # measured on the DL otherwise lands MIRRORED on the UL at the
+        # eNB (prach.cc:149-180 srslte_cfo_correct at TX;
+        # phch_worker.cc:764 srslte_ue_ul_set_cfo).
+        self.cfo_norm = 0.0
+        self.cfo_track = True
         self._last_pusch_prb = 1
         self.metrics = {"dl_ok": 0, "dl_ko": 0, "ul_tx": 0, "snr_db": 0.0,
                         "ack_tx": 0, "nack_tx": 0, "ul_retx": 0,
@@ -296,7 +307,17 @@ class Phy:
         import jax.numpy as jnp
 
         sf = tti % 10
-        grid = ofdm.demodulate(self.cell, to_device_complex(dl_samples))
+        iq = to_device_complex(dl_samples)
+        if self.cfo_track:
+            # correct with the current estimate, then track the residual
+            # from the first symbol's CP (the phch_recv loop collapsed
+            # into the worker: per-subframe correct + EMA track)
+            iq = sync.cfo_correct(iq, self.cfo_norm, self.cell.nfft)
+            resid = float(to_host(sync.cfo_estimate_cp(
+                iq, self.cell.nfft, self.cell.cp_lengths[0])))
+            self.cfo_norm += 0.3 * resid
+            self._m_add("cfo_hz", self.cfo_norm * 15000.0)
+        grid = ofdm.demodulate(self.cell, iq)
         h, nvar, rsrp = chest.estimate(self.cell, grid, sf, port=0)
         tm2 = self.cell.n_ports == 2 or self.tm == 2
         h1 = None
@@ -506,6 +527,17 @@ class Phy:
     # ------------------------------------------------------------ per-TTI UL
     def _assemble_ul(self, tti: int) -> np.ndarray | None:
         out = self._assemble_ul_inner(tti)
+        if out is not None and self.cfo_track and self.cfo_norm != 0.0:
+            # TX CFO pre-compensation: shift the UL waveform UP by the
+            # tracked DL offset so it arrives on-frequency at the eNB
+            # despite the shared-LO error (the DL appears at +cfo in the
+            # UE's baseband, so the UE's TX lands at -cfo at the eNB
+            # unless pre-rotated by +cfo). Covers PRACH, PUSCH, PUCCH
+            # and SRS — every waveform leaves through this exit
+            # (prach.cc:152, phch_worker.cc:764 parity).
+            n = np.arange(len(out), dtype=np.float64)
+            out = (out * np.exp(2j * np.pi * self.cfo_norm * n
+                                / self.cell.nfft)).astype(np.complex64)
         adv = self._ta_samples()
         if out is not None and adv > 0:
             # advance UL timing: transmit at tti+4 MINUS timeAdvance
