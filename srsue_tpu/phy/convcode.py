@@ -113,7 +113,13 @@ def decode(llrs: jnp.ndarray) -> jnp.ndarray:
     # step count is a CHUNK multiple (the pad steps see zero LLRs = no
     # metric information; they only warm the wrap-around state, which is
     # exactly what the first pass is for)
-    CHUNK = 8
+    # 8 trellis steps per scan iteration on TPU (measured best there);
+    # 2 on CPU — LLVM code size grows with the unrolled body, and the
+    # many per-shape Viterbi instances of one OTA test were enough to
+    # exhaust XLA:CPU's executable code memory (r5: segfault inside the
+    # compilation-cache load in test_ota_handover; conftest's per-test
+    # clear cannot help when a single test crosses the budget).
+    CHUNK = 8 if jax.default_backend() == "tpu" else 2
     total = 2 * n
     pad = (-total) % CHUNK
     llr2 = jnp.concatenate(

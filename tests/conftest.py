@@ -29,10 +29,28 @@ assert len(jax.devices()) == 8
 
 # Persistent on-disk compilation cache: with the aggressive clear_caches
 # below (see fixture), re-JITs of shared stages become deserializations
-# instead of full LLVM compiles.
+# instead of full LLVM compiles. The cache directory is FINGERPRINTED by
+# the host CPU: XLA:CPU AOT artifacts record the compile machine's
+# feature set, and loading one on a host with different features
+# SEGFAULTS inside the cache read (observed r5: a stale cache from a
+# different container profile crashed test_ota_handover with the exact
+# "machine features mismatch ... could lead to SIGILL" warning XLA
+# prints). A per-host-profile directory makes a profile change a cache
+# MISS instead of a crash.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_profile = _f.read().split("flags", 1)[-1][:4000]
+except OSError:
+    _cpu_profile = platform.platform()
+_host_fp = hashlib.md5(
+    (platform.machine() + _cpu_profile).encode()).hexdigest()[:10]
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("SRSUE_TEST_JAX_CACHE", "/tmp/srsue_test_jax_cache"),
+    os.environ.get("SRSUE_TEST_JAX_CACHE",
+                   f"/tmp/srsue_test_jax_cache_{_host_fp}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
