@@ -420,7 +420,7 @@ def measure(device_kind: str, B: int, n_rep: int = 8) -> dict:
     }
 
 
-def _run_child(mode: str, B: int, timeout: int = 2400):
+def _run_child(mode: str, B: int, timeout: int = 3300):
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), mode],

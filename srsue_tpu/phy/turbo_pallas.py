@@ -1062,7 +1062,6 @@ class _BmCtx:
         self.m = m
         self.Bg, self.T = m["Bg"], m["T"]
 
-        perm = jnp.asarray(turbo.qpp_perm(k))
         sys1 = d_llrs[:, 0, :k]
         par1 = d_llrs[:, 1, :k]
         par2 = d_llrs[:, 2, :k]
@@ -1075,7 +1074,12 @@ class _BmCtx:
         )
         _, _, dt = _variant()
         self.sys1_t = to_bm(sys1, window)
-        self.sys2_t = to_bm(sys1[:, perm], window)
+        # sys2 (interleaved systematic) via the layout's own gather —
+        # one fewer full-stream entry transpose (the composed map
+        # o -> o(perm(j(o))) IS omap_perm)
+        v = self.sys1_t.reshape(self.Bg, k, 128)
+        self.sys2_t = v[:, jnp.asarray(m["omap_perm"]), :].reshape(
+            self.T * window, 8, 128)
         self.par1_t = to_bm(par1, window).astype(dt)
         self.par2_t = to_bm(par2, window).astype(dt)
         self.bt_v = tuple(self._tail_bnd(ts, tp) for ts, tp in tails)
