@@ -53,6 +53,11 @@ def shard_decode(
     @jax.jit
     def run(iq):
         grid = ofdm.demodulate(cell, iq)
+        # keep the carrier axis sharded through the frontend: without
+        # the constraint GSPMD replicates the post-FFT grid with a
+        # full-batch all-gather (r5, found via the compiled-HLO
+        # collective audit in tools/bench_scaling.py)
+        grid = jax.lax.with_sharding_constraint(grid, in_spec)
         h, nvar, rsrp = chest.estimate(cell, grid, subframe, port=0)
         x_eq, nv_eff = equalize.zf(
             codec.extract_re(grid), codec.extract_re(h), nvar

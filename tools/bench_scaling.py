@@ -35,6 +35,12 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Use the TPU compute path (matmul-DFT) on the virtual mesh: the
+# native-FFT HLO op cannot be SPMD-partitioned on the batch axis, so
+# GSPMD inserts a full-grid all-gather that the real deployment never
+# executes (r5 finding from the collective audit below). The matmul
+# path shards cleanly and IS what runs on TPU.
+os.environ.setdefault("SRSUE_TPU_MATMUL_FFT", "1")
 
 import numpy as np  # noqa: E402
 
