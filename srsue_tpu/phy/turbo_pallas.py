@@ -67,6 +67,13 @@ iters; chained marginals):
   * unrolled-linear (SRSUE_TPU_TURBO_LAYOUT=linear): 44.9-45.5
     ms/decode marginal, first+compile 40-72 s (relay-server cache
     state dependent).
+  * SRSUE_TPU_TURBO_FORCED=loop_bm (fori_loop over bm carries, the
+    zero-glue body): compile 15.6 s but sync 114.6 vs 50.4 ms unrolled
+    at the true flagship shape (3328 x 5824, lw=104) — loop bodies on
+    this backend carry an intrinsic ~8 ms/iteration penalty even with
+    NO layout glue in the body. REJECTED for the headline; the
+    early-exit while path keeps the loop form because stopping at
+    convergence is its semantics, not a compile optimization.
   * SRSUE_TPU_TURBO_FORCED=loop (fori_loop body, natural-layout
     carries): compile 6 s (12x) but 101.7 ms marginal — the body's
     carry-adjacent tile/untile transposes cannot be absorbed the way
@@ -711,11 +718,12 @@ def decode(d_llrs, k: int, n_iters: int = 8, crc_mat=None, window: int = 64,
     if bm_ok and crc_mat is not None and early_exit:
         return decode_bm_early_exit(d_llrs, k, n_iters, crc_mat,
                                     window=bm_w, interpret=interpret)
+    _forced = os.environ.get("SRSUE_TPU_TURBO_FORCED", "unroll")
     if (bm_ok and not (crc_mat is not None and early_exit)
-            and os.environ.get("SRSUE_TPU_TURBO_FORCED", "unroll")
-            == "unroll"):
+            and _forced in ("unroll", "loop_bm")):
         return decode_forced_bm(d_llrs, k, n_iters, crc_mat=crc_mat,
-                                window=bm_w, interpret=interpret)
+                                window=bm_w, interpret=interpret,
+                                loop=_forced == "loop_bm")
     perm = jnp.asarray(turbo.qpp_perm(k))
     inv = jnp.asarray(turbo.qpp_inv(k))
 
@@ -1142,15 +1150,29 @@ class _BmCtx:
 
 
 def decode_forced_bm(d_llrs, k: int, n_iters: int, crc_mat=None,
-                     window: int = 64, interpret: bool = False):
+                     window: int = 64, interpret: bool = False,
+                     loop: bool | None = None):
     """Forced-iteration decode in the block-minor layout: zero stream
     transposes per iteration (see module section note). Bit-identical
     to the window-linear forced path (same kernel, same max-log
-    arithmetic; pinned in test_turbo_pallas)."""
+    arithmetic; pinned in test_turbo_pallas).
+
+    loop=True runs the iteration as a lax.fori_loop over bm carries —
+    unlike the natural-layout loop forms (r5 ledger: +7 ms/iter from
+    carry-adjacent transposes), the bm body has no layout glue to lose,
+    so the loop form trades nothing at runtime and shrinks the XLA
+    graph (and compile time) ~n_iters-fold."""
+    if loop is None:
+        loop = (os.environ.get("SRSUE_TPU_TURBO_FORCED", "unroll")
+                == "loop_bm")
     c = _BmCtx(d_llrs, k, window, interpret)
     carry = (c.zs, c.zs, c.zb, c.zb, c.zb, c.zb)
-    for _ in range(n_iters):
-        carry = c.iteration(*carry)
+    if loop and not interpret:
+        carry = jax.lax.fori_loop(
+            0, n_iters, lambda _, cr: c.iteration(*cr), carry)
+    else:
+        for _ in range(n_iters):
+            carry = c.iteration(*carry)
     post_t = c.post(carry[0], carry[1])
     iters = jnp.full((c.B,), n_iters, jnp.int32)
     return c.finish(post_t, crc_mat, iters)
