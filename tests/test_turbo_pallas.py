@@ -220,3 +220,33 @@ def test_forced_loop_forms_match_unrolled(monkeypatch, form):
     np.testing.assert_array_equal(np.asarray(it), np.asarray(it_ref))
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(h), payloads)
+
+
+def test_bm_layout_flagship_k_window_remap(monkeypatch):
+    """The flagship codeblock (K=5824) does not tile at lw=64 (W=91);
+    the bm layout must remap to lw=104 (W=56) and stay equivalent to
+    the window-linear paths — the exact shape the 20 MHz max-TBS bench
+    decodes (r5)."""
+    k = 5824
+    assert turbo_pallas._bm_window(k, 64) == 104
+    rng = np.random.default_rng(17)
+    payloads, llrs, m = _make(k, 2, 1.0, rng)
+    d = jnp.asarray(llrs)
+    # direct bm entry points (B=2 pads to full lanes)
+    h_f, it_f, ok_f = turbo_pallas.decode_forced_bm(
+        d, k, 3, crc_mat=m, window=104, interpret=True)
+    assert np.asarray(ok_f).all()
+    np.testing.assert_array_equal(np.asarray(h_f), payloads)
+    assert h_f.shape == (2, k) and it_f.shape == (2,)
+    h_e, it_e, ok_e = turbo_pallas.decode_bm_early_exit(
+        d, k, 6, m, window=104, interpret=True)
+    assert np.asarray(ok_e).all()
+    np.testing.assert_array_equal(np.asarray(h_e), payloads)
+    assert (np.asarray(it_e) <= 3).all()
+    # window-linear reference agrees
+    monkeypatch.setenv("SRSUE_TPU_TURBO_LAYOUT", "linear")
+    h_l, _, ok_l = turbo_pallas.decode(
+        d, k, n_iters=3, crc_mat=m, window=104, early_exit=False,
+        interpret=True)
+    assert np.asarray(ok_l).all()
+    np.testing.assert_array_equal(np.asarray(h_l), np.asarray(h_f))
